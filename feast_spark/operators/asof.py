@@ -1,0 +1,355 @@
+"""Point-in-time-correct as-of join — THE core operator (SURVEY.md §2.3).
+
+Semantics (upstream Feast get_historical_features / the
+MULTIPLE_FEATURE_VIEW_POINT_IN_TIME_JOIN SQL template in
+offline_utils.py; local reference is a stub — SURVEY.md §0.1):
+
+For each probe row ``(by, ts)`` return the feature values of the LATEST
+feature row with ``event_ts <= ts`` (at-or-before; equality matches) and,
+if a TTL is given, ``event_ts >= ts - ttl``. Ties on event_ts break by max
+``created_ts``, then by a deterministic hash (our strengthening — upstream
+leaves sub-created ties unspecified). Left semantics: a probe with no
+qualifying feature row keeps NULL features. Zero temporal leakage: no
+value from an event after the probe ts, ever.
+
+PySpark 4.1.2 has no native asOfJoin (verified), so three strategies:
+
+- ``union``  (J1): union probes+events, one window per url, forward-fill a
+  payload struct. One shuffle on ``by``; scales to any probe cardinality;
+  the default.
+- ``broadcast`` (J2): broadcast the (distinct) probe set, equi-join on
+  ``by`` with the TTL range as join condition, keep row_number()==1 per
+  probe. Best when probes are small; zero shuffle of the big side beyond
+  the scan.
+- ``cogroup`` (J3): hash-bucket both sides on ``by``, per-bucket pandas
+  ``merge_asof`` (vectorized, no per-row Python). This is the
+  "sort-merge over url-hash-partitioned partitions" path of the north
+  rule — when both sides are already bucket-laid-out (sources.layout),
+  the shuffle is a cheap B-way repartition on a precomputed bucket id.
+
+All strategies forward-fill/select a STRUCT of the full feature payload,
+not per-column fills — so a legitimately-NULL feature value in the latest
+row stays NULL instead of leaking an older value.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ETS = "__asof_event_ts"
+
+
+def _ttl_seconds(ttl: timedelta | int | float | None) -> float | None:
+    if ttl is None:
+        return None
+    if isinstance(ttl, timedelta):
+        return ttl.total_seconds()
+    return float(ttl)
+
+
+def _tiebreak_hash(features: DataFrame, cols: list[str]) -> Column:
+    """Deterministic total-order tiebreak for rows sharing (by, event_ts,
+    created_ts) — required so window/merge results are permutation-
+    invariant (SURVEY.md §7.3.2)."""
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
+def asof_join(
+    probes: DataFrame,
+    features: DataFrame,
+    *,
+    by: str = "url",
+    left_on: str = "ts",
+    right_on: str = "warc_ts",
+    ttl: timedelta | int | None = None,
+    created_col: str | None = None,
+    feature_cols: list[str] | None = None,
+    strategy: str = "union",
+    include_event_ts: bool = False,
+    event_ts_name: str = "event_ts",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Dispatch to a PIT-join strategy. Output = all probe columns +
+    ``feature_cols`` (+ the matched event ts if ``include_event_ts``)."""
+    if feature_cols is None:
+        skip = {by, right_on}
+        if created_col:
+            skip.add(created_col)
+        feature_cols = [c for c in features.columns if c not in skip]
+    clash = (set(feature_cols) | {event_ts_name} if include_event_ts else set(feature_cols)) & set(
+        probes.columns
+    )
+    if clash:
+        raise ValueError(f"probe/feature column collision: {sorted(clash)}")
+
+    # normalize event-time columns: parquet timestamp[us] loads as
+    # TIMESTAMP_NTZ in Spark 4 and breaks interval/epoch arithmetic
+    probes = probes.withColumn(left_on, F.col(left_on).cast("timestamp"))
+    features = features.withColumn(right_on, F.col(right_on).cast("timestamp"))
+    if created_col:
+        features = features.withColumn(created_col, F.col(created_col).cast("timestamp"))
+
+    kw = dict(
+        by=by, left_on=left_on, right_on=right_on, ttl=_ttl_seconds(ttl),
+        created_col=created_col, feature_cols=feature_cols,
+        include_event_ts=include_event_ts, event_ts_name=event_ts_name,
+    )
+    if strategy == "union":
+        return _asof_union_window(probes, features, **kw)
+    if strategy == "broadcast":
+        return _asof_broadcast(probes, features, **kw)
+    if strategy == "cogroup":
+        return _asof_cogroup(probes, features, n_buckets=n_buckets, **kw)
+    raise ValueError(f"unknown asof strategy: {strategy!r}")
+
+
+# ---------------------------------------------------------------- J1 ----
+def _asof_union_window(
+    probes: DataFrame,
+    features: DataFrame,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    ttl: float | None,
+    created_col: str | None,
+    feature_cols: list[str],
+    include_event_ts: bool,
+    event_ts_name: str,
+) -> DataFrame:
+    """Union+window: the Feast-0.9 PySpark strategy (upstream
+    historical_feature_retrieval_job.py), re-derived. Single shuffle
+    (window partitionBy ``by``); probes and events sort together so the
+    at-or-before boundary falls out of the sort order (events sort BEFORE
+    probes at equal ts → equality matches; after → leakage impossible)."""
+    payload = F.struct(
+        F.col(right_on).alias(_ETS),
+        *[F.col(c).alias(c) for c in feature_cols],
+    )
+    created = (
+        F.col(created_col) if created_col else F.lit(None).cast("timestamp")
+    )
+    ev = features.select(
+        F.col(by).alias(by),
+        F.col(right_on).alias("__t"),
+        F.lit(0).alias("__is_probe"),
+        created.alias("__created"),
+        _tiebreak_hash(features, feature_cols).alias("__tb"),
+        payload.alias("__payload"),
+    )
+    pr = probes.select(
+        *[F.col(c) for c in probes.columns],
+        F.col(left_on).alias("__t"),
+        F.lit(1).alias("__is_probe"),
+    )
+    u = pr.unionByName(ev, allowMissingColumns=True)
+
+    # within a url: order by ts; at equal ts events (0) precede probes (1);
+    # among equal-ts events ascending (created, hash) so last-wins = max
+    w = (
+        Window.partitionBy(by)
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_probe").asc(),
+            F.col("__created").asc_nulls_first(),
+            F.col("__tb").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__fill", F.last("__payload", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__is_probe") == 1)
+
+    valid = F.col("__fill").isNotNull()
+    if ttl is not None:
+        # epoch-double comparison: interval literals don't take float
+        # seconds, and TIMESTAMP_NTZ can't cast straight to long (§0.3)
+        valid = valid & (
+            F.col("__fill")[_ETS].cast("double")
+            >= F.col(left_on).cast("double") - F.lit(ttl)
+        )
+    sel: list[Column] = [F.col(c) for c in probes.columns]
+    for c in feature_cols:
+        sel.append(F.when(valid, F.col("__fill")[c]).alias(c))
+    if include_event_ts:
+        sel.append(F.when(valid, F.col("__fill")[_ETS]).alias(event_ts_name))
+    return out.select(*sel)
+
+
+# ---------------------------------------------------------------- J2 ----
+def _asof_broadcast(
+    probes: DataFrame,
+    features: DataFrame,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    ttl: float | None,
+    created_col: str | None,
+    feature_cols: list[str],
+    include_event_ts: bool,
+    event_ts_name: str,
+) -> DataFrame:
+    """Broadcast the distinct probe set; range-join + keep latest per
+    probe. The big (features) side is scanned once, never shuffled on a
+    new key: the window partitions by (by, ts) which the join already
+    co-located."""
+    p = probes.select(by, left_on).distinct().alias("p")
+    f = features.alias("f")
+    cond = (F.col(f"p.{by}") == F.col(f"f.{by}")) & (
+        F.col(f"f.{right_on}") <= F.col(f"p.{left_on}")
+    )
+    if ttl is not None:
+        cond = cond & (
+            F.col(f"f.{right_on}").cast("double")
+            >= F.col(f"p.{left_on}").cast("double") - F.lit(ttl)
+        )
+    j = F.broadcast(p).join(f, cond, "inner")
+    created = (
+        F.col(f"f.{created_col}") if created_col else F.lit(None).cast("timestamp")
+    )
+    w = Window.partitionBy(F.col(f"p.{by}"), F.col(f"p.{left_on}")).orderBy(
+        F.col(f"f.{right_on}").desc(),
+        created.desc_nulls_last(),
+        _tiebreak_hash(f, [f"f.{c}" for c in feature_cols]).desc_nulls_last(),
+    )
+    best = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(f"p.{by}").alias(by),
+            F.col(f"p.{left_on}").alias(left_on),
+            *[F.col(f"f.{c}").alias(c) for c in feature_cols],
+            F.col(f"f.{right_on}").alias(event_ts_name),
+        )
+    )
+    out = probes.join(F.broadcast(best), on=[by, left_on], how="left")
+    if not include_event_ts:
+        out = out.drop(event_ts_name)
+    return out
+
+
+# ---------------------------------------------------------------- J3 ----
+def _asof_cogroup(
+    probes: DataFrame,
+    features: DataFrame,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    ttl: float | None,
+    created_col: str | None,
+    feature_cols: list[str],
+    include_event_ts: bool,
+    event_ts_name: str,
+    n_buckets: int | None,
+) -> DataFrame:
+    """Bucketed cogroup + pandas ``merge_asof`` per bucket — the explicit
+    sort-merge path of the north rule. Both sides repartition on
+    ``pmod(xxhash64(by), B)`` (the SAME transform sources.layout writes
+    with, so layout-aligned inputs shuffle minimally), then one vectorized
+    merge per bucket."""
+    import pandas as pd
+
+    spark = probes.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+
+    bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)).alias("__b")
+    pb = probes.withColumn("__b", bucket)
+    fsel = [by, right_on, *feature_cols] + ([created_col] if created_col else [])
+    # tiebreak hash computed JVM-side with the SAME xxhash64 as J1/J2 so
+    # all three strategies are bit-identical on (ts, created) ties
+    fb = (
+        features.select(*fsel)
+        .withColumn("__tb", _tiebreak_hash(features, feature_cols))
+        .withColumn("__b", bucket)
+    )
+
+    probe_fields = [f for f in probes.schema.fields]
+    feat_fields = [features.schema[c] for c in feature_cols]
+    out_schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in probe_fields]
+    out_schema_parts += [f"`{f.name}` {f.dataType.simpleString()}" for f in feat_fields]
+    if include_event_ts:
+        out_schema_parts.append(f"`{event_ts_name}` timestamp")
+    out_schema = ", ".join(out_schema_parts)
+
+    probe_cols = [f.name for f in probe_fields]
+    int_like = {
+        f.name
+        for f in feat_fields
+        if f.dataType.simpleString() in ("bigint", "int", "smallint", "tinyint")
+    }
+    tol = pd.Timedelta(seconds=ttl) if ttl is not None else None
+    ets_out = event_ts_name if include_event_ts else None
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.drop(columns="__b")
+        right = right.drop(columns="__b")
+        out_cols = probe_cols + feature_cols + ([ets_out] if ets_out else [])
+        if len(left) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        if len(right) == 0:
+            res = left.copy()
+            for c in feature_cols:
+                res[c] = None
+            if ets_out:
+                res[ets_out] = pd.NaT
+            return res[out_cols]
+        sort_rhs = [right_on] + ([created_col] if created_col else [])
+        # na_position="first" matches J1's asc_nulls_first: a NULL
+        # created_ts loses ties against any non-NULL one
+        right = right.sort_values(
+            sort_rhs + ["__tb"], kind="mergesort", na_position="first"
+        ).reset_index(drop=True)
+        right = right.rename(columns={right_on: "__rts"})
+        left = left.sort_values(left_on, kind="mergesort").reset_index(drop=True)
+        merged = pd.merge_asof(
+            left,
+            right.drop(columns=["__tb"] + ([created_col] if created_col else [])),
+            left_on=left_on,
+            right_on="__rts",
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=tol,
+        )
+        for c in int_like:
+            merged[c] = merged[c].astype("Int64")
+        if ets_out:
+            merged[ets_out] = merged["__rts"]
+        return merged[out_cols]
+
+    return (
+        pb.groupBy("__b")
+        .cogroup(fb.groupBy("__b"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+# ---------------------------------------------------------------- J4 ----
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Key-salted equi-join for hot keys (north rule: "key-salting for hot
+    domains"). The big side gets a random-ish-but-deterministic salt from
+    xxhash64 of its other columns; the small side is exploded ``salt``
+    ways so every (key, salt) pair finds its match. AQE skew-join is the
+    runtime backstop; this is the explicit control for when stats are
+    known up front."""
+    other = [c for c in big.columns if c != on] or [on]
+    bigs = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in other]), F.lit(salt))
+    )
+    smalls = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = bigs.join(smalls, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

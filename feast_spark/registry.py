@@ -1,0 +1,176 @@
+"""Feature registry: Entity / FeatureView / FeatureStore.
+
+Mirrors the reference's registry surface (upstream
+``feast/entity.py``, ``feast/feature_view.py``, ``feast/feature_store.py``;
+local reference is a stub — see SURVEY.md §0.1) as plain dataclasses plus a
+JSON file registry. No protobuf: the catalog is small metadata, files are
+fine at any scale (the data plane is where 100 TB lives, not the registry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import timedelta
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Entity:
+    """A named join key (upstream feast/entity.py)."""
+
+    name: str
+    join_key: str
+    value_type: str = "string"
+
+
+@dataclass(frozen=True)
+class FeatureSpec:
+    """A typed feature column (upstream feast/field.py / types.py)."""
+
+    name: str
+    dtype: str  # Spark simpleString: "double", "bigint", "string", "array<float>"
+
+
+@dataclass
+class FeatureView:
+    """A feature table bound to (entity, source, ttl, timestamp columns).
+
+    Upstream: feast/feature_view.py. ``source`` is either a parquet path,
+    a table layout root (sources.layout), or a callable
+    ``(SparkSession) -> DataFrame`` for view-over-query sources (upstream
+    spark_source.py ``query=``).
+    """
+
+    name: str
+    entity: Entity
+    source: str | Callable[[SparkSession], DataFrame]
+    features: list[FeatureSpec]
+    ttl: timedelta | None = None
+    timestamp_field: str = "warc_ts"
+    created_timestamp_column: str | None = None
+    field_mapping: dict[str, str] = field(default_factory=dict)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        """Resolve the source to a DataFrame, apply field mapping, and
+        normalize the event-time column to TIMESTAMP (Spark 4 loads
+        parquet timestamp[us] as TIMESTAMP_NTZ — SURVEY.md §0.3)."""
+        from pyspark.sql import functions as F
+
+        if callable(self.source):
+            df = self.source(spark)
+        elif os.path.isdir(os.path.join(str(self.source), "metadata")):
+            from feast_spark.sources.pages import read_table
+
+            df = read_table(spark, str(self.source))
+        else:
+            df = spark.read.parquet(str(self.source))
+        if self.field_mapping:
+            df = df.withColumnsRenamed(self.field_mapping)
+        ts = self.timestamp_field
+        df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+        if self.created_timestamp_column:
+            df = df.withColumn(
+                self.created_timestamp_column,
+                F.col(self.created_timestamp_column).cast("timestamp"),
+            )
+        return df
+
+
+class FeatureStore:
+    """Facade: register views, run historical retrieval + materialization.
+
+    Upstream: feast/feature_store.py (apply / get_historical_features /
+    materialize). Registry is a JSON file per store root when ``root`` is
+    given, else in-memory only.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None = None) -> None:
+        self.spark = spark
+        self.root = root
+        self._views: dict[str, FeatureView] = {}
+        if root:
+            os.makedirs(root, exist_ok=True)
+            self._load_registry()
+
+    # -- registry -----------------------------------------------------
+    @property
+    def _registry_path(self) -> str:
+        assert self.root
+        return os.path.join(self.root, "registry.json")
+
+    def _load_registry(self) -> None:
+        if self.root and os.path.exists(self._registry_path):
+            with open(self._registry_path) as f:
+                meta = json.load(f)
+            for v in meta.get("views", []):
+                fv = FeatureView(
+                    name=v["name"],
+                    entity=Entity(**v["entity"]),
+                    source=v["source"],
+                    features=[FeatureSpec(**s) for s in v["features"]],
+                    ttl=timedelta(seconds=v["ttl_s"]) if v.get("ttl_s") else None,
+                    timestamp_field=v["timestamp_field"],
+                    created_timestamp_column=v.get("created_timestamp_column"),
+                    field_mapping=v.get("field_mapping", {}),
+                )
+                self._views[fv.name] = fv
+
+    def _save_registry(self) -> None:
+        if not self.root:
+            return
+        views = []
+        for fv in self._views.values():
+            if callable(fv.source):
+                continue  # query sources are code; not persisted
+            views.append(
+                {
+                    "name": fv.name,
+                    "entity": fv.entity.__dict__,
+                    "source": fv.source,
+                    "features": [s.__dict__ for s in fv.features],
+                    "ttl_s": fv.ttl.total_seconds() if fv.ttl else None,
+                    "timestamp_field": fv.timestamp_field,
+                    "created_timestamp_column": fv.created_timestamp_column,
+                    "field_mapping": fv.field_mapping,
+                }
+            )
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"views": views}, f, indent=1)
+        os.replace(tmp, self._registry_path)
+
+    def apply(self, view: FeatureView) -> None:
+        self._views[view.name] = view
+        self._save_registry()
+
+    def get_view(self, name: str) -> FeatureView:
+        return self._views[name]
+
+    # -- retrieval ----------------------------------------------------
+    def get_historical_features(
+        self,
+        entity_df: DataFrame,
+        features: list[str],
+        full_feature_names: bool = False,
+        strategy: str | None = None,
+    ) -> DataFrame:
+        """Point-in-time-correct retrieval (upstream
+        get_historical_features): ``features`` are ``"view:feature"`` refs;
+        entity_df must carry the entity join key + a ``ts`` column.
+        """
+        from feast_spark.plans.retrieval import plan_retrieval
+
+        return plan_retrieval(
+            self, entity_df, features, full_feature_names=full_feature_names,
+            strategy=strategy,
+        )
+
+    def materialize(self, view_name: str, start, end, dest: str, **kw):
+        from feast_spark.materialize import MaterializeJob
+
+        job = MaterializeJob(self.spark, self.get_view(view_name), dest, **kw)
+        return job.run(start, end)
