@@ -261,9 +261,13 @@ def _asof_cogroup(
     pb = probes.withColumn("__b", bucket)
     fsel = [by, right_on, *feature_cols] + ([created_col] if created_col else [])
     # tiebreak hash computed JVM-side with the SAME xxhash64 as J1/J2 so
-    # all three strategies are bit-identical on (ts, created) ties
+    # all three strategies are bit-identical on (ts, created) ties.
+    # Columns are re-aliased: when probes and features share lineage,
+    # cogroup silently DROPS right-side columns whose attribute exprId
+    # also appears on the left (observed on Spark 4.1.2) — a fresh Alias
+    # per column breaks the shared ids.
     fb = (
-        features.select(*fsel)
+        features.select(*[F.col(c).alias(c) for c in fsel])
         .withColumn("__tb", _tiebreak_hash(features, feature_cols))
         .withColumn("__b", bucket)
     )

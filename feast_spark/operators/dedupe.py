@@ -1,0 +1,255 @@
+"""Web-scale deduplication operators (task spec: first-class components).
+
+- exact: hash-groupBy on content or fingerprint (JVM-side, one shuffle)
+- MinHash + LSH banding: shingle → num_hashes min-hashes → band keys →
+  bucket self-join for candidates → exact Jaccard verify. Everything up
+  to the candidate join is built-in higher-order functions + xxhash64 —
+  no Python in the hot path; the band bucket join is the only shuffle
+  that grows with corpus size, and it's an equi-join on (band_id, key)
+  that AQE can skew-split.
+- SimHash: 64-bit signature via an Arrow-batched pandas UDF (numpy bit
+  matrix per batch), Hamming-adjacent buckets by prefix.
+
+At 100 TB: the shingle explode is the widest intermediate; it stays
+proportional to token count (not doc pairs), min-hash aggregation is a
+map-side-combinable groupBy, and candidate verification only touches the
+pairs LSH surfaced (quadratic blowup bounded per bucket).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """P6: drop exact duplicates on ``cols`` (hash-groupBy under the hood)."""
+    return df.dropDuplicates(cols)
+
+
+def fingerprint_dedup_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup clusters by normalized-text fingerprint: one row per
+    cluster with the kept (min) id and the copy count."""
+    from feast_spark.operators.text import doc_fingerprint
+
+    return (
+        df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+def _shingles(text_col: Column, k: int) -> Column:
+    """Distinct k-token shingles as an array<string> — built-in
+    higher-order fns only (split → sliding window via transform over a
+    sequence of start offsets)."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def minhash_signature(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) min-hash signature table.
+
+    Hash family: ``xxhash64(shingle, j)`` for j in [0, num_hashes) — i.e.
+    the seed-perturbed xxhash64 family, all JVM-side. The explode is the
+    wide step; the groupBy(id).min aggregation combines map-side.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col), shingle_k)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact-verified Jaccard ≥
+    threshold) via MinHash-LSH banding.
+
+    rows/bands per band = num_hashes // bands; a pair collides in a band
+    iff that band's hashes all match → candidate. Candidates are then
+    exact-verified on shingle sets (array_intersect / array_union)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands evenly")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index
+    (explode → self-join on shingle → count matches / union size). The
+    honest O(pairs-sharing-a-shingle) baseline MinHash approximates."""
+    sh = df.select(
+        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
+    ).withColumn("__n", F.size("__sh"))
+    inv = sh.select(F.col(id_col), "__n", F.explode("__sh").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_col: Column) -> Column:
+    """64-bit SimHash as an Arrow-batched pandas UDF.
+
+    Token hashes come from pandas' stable siphash (``hash_array`` with the
+    default fixed key — deterministic across runs/machines); the bit-vote
+    matrix is pure numpy per batch. Returned as signed int64 (the natural
+    Spark long), bit pattern preserved via uint64 view.
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _simhash(s: pd.Series) -> pd.Series:
+        out = np.zeros(len(s), dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, txt in enumerate(s):
+            if not txt:
+                continue
+            toks = np.array(txt.lower().split(), dtype=object)
+            if toks.size == 0:
+                continue
+            h = pd.util.hash_array(toks)  # uint64 per token, deterministic
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            sig |= ((votes >= 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out[i] = sig
+        return pd.Series(out.view(np.int64))
+
+    return _simhash(text_col)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dups: bucket by each of ``n_tables`` 16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks matches exactly),
+    then verify hamming distance on candidates via bit_count(xor)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sig"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftrightunsigned("__sig", t * 16).bitwiseAND(F.lit(0xFFFF)).alias("c"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), "__sig", F.explode(chunks).alias("ch"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

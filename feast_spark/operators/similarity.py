@@ -1,0 +1,160 @@
+"""Embedding similarity search (task spec: first-class component).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the query
+set against a single scan of the corpus, dot products via zip_with /
+aggregate higher-order functions (JVM codegen, no Python). The scale path
+is random-hyperplane LSH bucketing: O(corpus) signatures, candidates only
+within matching buckets — the bucket join is the one shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_to_query(
+    df: DataFrame,
+    *,
+    query_vec_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact top-k most-cosine-similar rows to the row ``id == query_vec_id``.
+
+    The query row is broadcast (1 row); the corpus is scanned once, never
+    shuffled — ordering happens on the (tiny) scored projection via a
+    global top-k (orderBy + limit = Spark's TakeOrderedAndProject)."""
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("__cos"),
+        )
+    )
+    out = scored.orderBy(F.col("__cos").desc(), F.col(id_col).asc()).limit(k)
+    c = F.round("__cos", round_digits) if round_digits is not None else F.col("__cos")
+    return out.select(F.col(id_col), c.alias("cosine"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k per query: broadcast the query set, score every
+    (query, corpus) pair, keep row_number ≤ k per query. O(Q·N) compute,
+    zero corpus shuffle — right up to Q·N hitting cluster compute limits,
+    at which point use ``lsh_topk``."""
+    from pyspark.sql import Window
+
+    qs = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column, planes: np.ndarray
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of ``planes @ v`` packed
+    into a long. ``planes`` is a (n_bits, dim) numpy array generated from
+    a fixed seed — broadcast as literals into the plan (tiny)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = _dot(vec_col, plane)
+        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def make_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus rows sharing the query's
+    hyperplane bucket; exact cosine ranks within candidates. Recall is
+    tunable by n_bits (fewer bits → bigger buckets → higher recall/cost).
+    The IVF analogue: bucket id = coarse quantizer cell."""
+    from pyspark.sql import Window
+
+    planes = make_planes(dim, n_bits, seed)
+    c = corpus.withColumn("__sig", hyperplane_signature(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), planes))
+    cand = c.join(F.broadcast(q), "__sig").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
