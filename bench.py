@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Two parts:
+
+1. **Headline driver queries** — the PIT/as-of strategies, windowed
+   feature builders, and representative relational/dedup ops from
+   ``__spark_entry__.queries()``, each forced with a noop write (full
+   execution, no driver collect).
+2. **Pages pipeline** — the BASELINE.json metric proper: synthesize the
+   Common-Crawl-style pages table once (cached parquet keyed by scale),
+   then time extract→features→PIT-materialize end-to-end and report
+   materialized feature-rows/sec as ``docs_per_sec``.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in BENCH/scaling.py →
+BENCH/BASELINE.md, not here: the per-round bench must stay one process.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: every PIT strategy + each windowed feature builder +
+# a shuffle-heavy relational query + dedup/similarity representatives
+HEADLINE = [
+    "pit_asof_union",
+    "pit_asof_broadcast",
+    "pit_asof_cogroup",
+    "lag_lead",
+    "rolling_7d",
+    "sessionize",
+    "latest_per_key",
+    "backfill_fill",
+    "pricing_summary",
+    "star_join_revenue",
+    "salted_join",
+    "text_stats",
+    "dedup_exact",
+    "cosine_topk",
+]
+
+# pages-pipeline scale: sized so the materialize leg takes O(10s) at
+# local[32] on sf0.1-grade hardware; scaled down for smaller SF dirs
+PAGES_URLS = {"sf0.001": 500, "sf0.01": 2_000, "sf0.1": 20_000}
+
+
+def _force(df) -> int:
+    """Execute fully without materializing on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _pages_path(sf_name: str, n_urls: int) -> str:
+    return os.path.join(
+        os.environ.get("FEAST_SPARK_BENCH_CACHE", "/tmp/feast_spark_bench"),
+        f"pages_{sf_name}_{n_urls}",
+    )
+
+
+def bench_pages_pipeline(spark, sf_name: str) -> tuple[float, float, int]:
+    """End-to-end: pages → extract text → window features → PIT join at
+    probe timestamps → latest-per-key materialize. Returns (sec,
+    rows/sec, n_rows)."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.datagen import generate_pages_distributed
+    from feast_spark.operators.asof import asof_join
+    from feast_spark.operators.text import extract_text_col, quality_features
+    from feast_spark.operators.windows import latest_per_key, session_stats
+
+    n_urls = PAGES_URLS.get(sf_name, 2_000)
+    path = _pages_path(sf_name, n_urls)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_pages_distributed(
+            spark, n_urls=n_urls, n_domains=max(50, n_urls // 20)
+        ).write.mode("overwrite").parquet(path)
+
+    pages = spark.read.parquet(path).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    n_rows = pages.count()
+
+    t0 = time.monotonic()
+    # 1. vectorized extraction (mapInPandas, Arrow-batched)
+    extracted = extract_text_col(pages.select("url", "warc_ts", "html"))
+    # 2. JVM-side quality features over the extracted text
+    feats = quality_features(
+        extracted.withColumnRenamed("extracted_text", "text").drop("html")
+    )
+    # 3. windowed builders: lag + rolling count per url
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    wr = (
+        Window.partitionBy("url")
+        .orderBy(F.col("warc_ts").cast("double"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    feats = feats.select(
+        "url",
+        "warc_ts",
+        "q_n_chars",
+        "q_n_tokens",
+        F.lag("q_n_chars", 1).over(w).alias("lag1_n_chars"),
+        F.count(F.lit(1)).over(wr).alias("roll7d_count"),
+    )
+    # 4. PIT join: probe every url at a fixed retrieval timestamp grid
+    probes = (
+        pages.select("url")
+        .distinct()
+        .withColumn(
+            "ts", F.lit("2024-02-01 00:00:00").cast("timestamp")
+        )
+    )
+    retrieved = asof_join(
+        probes,
+        feats,
+        by="url",
+        left_on="ts",
+        right_on="warc_ts",
+        ttl=90 * 86400,
+        strategy="union",
+    )
+    _force(retrieved)
+    sec = time.monotonic() - t0
+    return sec, n_rows / max(sec, 1e-9), n_rows
+
+
+def main() -> None:
+    t_import = time.monotonic()
+    from feast_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("feast_spark_bench", cores=CPUS)
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    # JVM warm-up: one tiny action so the first timed query doesn't pay
+    # session/codegen start-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    pages_sec, docs_per_sec, n_pages = bench_pages_pipeline(spark, sf_name)
+    timings["pages_materialize"] = round(pages_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total headline-query wall time (feast_spark engine)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_name,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "pages_rows": n_pages,
+        "cpus": CPUS,
+        "startup_sec": round(time.monotonic() - t_import - total, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
