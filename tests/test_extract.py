@@ -1,0 +1,72 @@
+"""Byte-identical extraction invariant (BASELINE.json input_hint;
+SURVEY.md §5.2.3): the engine's distributed mapInPandas extractor must
+reproduce the reference spec extractor byte-for-byte per (url, warc_ts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feast_spark.extract_spec import extract_text
+from feast_spark.operators.text import (
+    char_class_ratios_pandas,
+    extract_text_col,
+    quality_features,
+)
+
+
+def test_engine_extraction_byte_identical(spark, pages_df):
+    """pages.text was produced by the serial spec extractor at datagen
+    time; the engine must reproduce it from html exactly."""
+    out = extract_text_col(pages_df.select("url", "warc_ts", "html", "text"))
+    mismatches = out.filter(
+        F.encode("extracted_text", "utf-8") != F.encode("text", "utf-8")
+    ).count()
+    assert mismatches == 0
+
+
+def test_spec_extractor_handles_edge_cases():
+    assert extract_text(b"") == ""
+    assert extract_text(b"<p>a&amp;b</p>") == "a&b"
+    assert extract_text(b"<script>x<p>no</p></script>visible") == "visible"
+    assert extract_text(b"<style>p{}</style><p> a   b </p>") == "a b"
+    assert extract_text("<p>snow &#x2603;</p>") == "snow ☃"
+    # script is raw-text (HTML5 CDATA): the FIRST </script> closes it,
+    # and the stray second closer is ignored (depth guard)
+    assert (
+        extract_text(b"<script><script></script>visible</script>ok")
+        == "visibleok"
+    )
+    # non-CDATA skip tags DO nest via the depth counter
+    assert (
+        extract_text(b"<template>a<template>b</template>c</template>d") == "d"
+    )
+    # invalid utf-8 → replacement char, never an exception
+    assert "�" in extract_text(b"<p>\xff\xfe</p>")
+    # block boundaries become newlines, inline tags flow
+    assert extract_text(b"<h1>t</h1><p>a <b>b</b> c</p>") == "t\na b c"
+
+
+def test_quality_features_jvm_vs_pandas(spark, pages_df):
+    """The JVM punct_ratio expression must equal the Arrow/pandas kernel
+    (cross-check of the two vectorized paths)."""
+    df = quality_features(pages_df.select("url", "warc_ts", "text"))
+    df = char_class_ratios_pandas(df)
+    bad = df.filter(
+        F.abs(F.col("q_punct_ratio") - F.col("q_punct_ratio_py")) > 1e-9
+    ).count()
+    assert bad == 0
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame(
+        [("the cat, IS 42!",)], "text string"
+    )
+    row = quality_features(df).first()
+    assert row["q_n_chars"] == 15
+    assert row["q_n_tokens"] == 4
+    # punct: , !  → 2/15 ; digits: 4 2 → 2/15 ; upper: I S → 2/15
+    assert abs(row["q_punct_ratio"] - 2 / 15) < 1e-9
+    assert abs(row["q_digit_ratio"] - 2 / 15) < 1e-9
+    assert abs(row["q_upper_ratio"] - 2 / 15) < 1e-9
+    # stopwords: the, is → 2/4
+    assert abs(row["q_stopword_ratio"] - 0.5) < 1e-9

@@ -1,0 +1,127 @@
+"""Iceberg-style layout tests (SURVEY.md §1.4: S2/S3/S6; sorted files,
+hidden partitioning, manifest pruning, snapshots/time travel)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.sources import pages as layout
+
+B = 4
+
+
+@pytest.fixture(scope="module")
+def table_root(spark, pages_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("layout") / "pages_table")
+    snap = layout.write_table(
+        pages_df, root, key_col="url", ts_col="warc_ts", n_buckets=B
+    )
+    assert snap == 1
+    return root
+
+
+def test_roundtrip_and_hidden_partitioning(spark, pages_df, table_root):
+    df = layout.read_table(spark, table_root)
+    # hidden partitioning: only logical columns surface
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert df.count() == pages_df.count()
+    # exact content match (timestamps normalized)
+    a = pages_df.select("url", F.col("warc_ts").cast("timestamp"), "text")
+    b = df.select("url", F.col("warc_ts").cast("timestamp"), "text")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_files_sorted_within(table_root):
+    snap = layout.current_snapshot(table_root)
+    f0 = snap["files"][0]
+    t = pq.read_table(os.path.join(table_root, f0["path"]), columns=["url", "warc_ts"])
+    rows = list(zip(t.column("url").to_pylist(), t.column("warc_ts").to_pylist()))
+    assert rows == sorted(rows)
+
+
+def test_manifest_stats_present(table_root):
+    snap = layout.current_snapshot(table_root)
+    assert snap["n_buckets"] == B
+    assert len(snap["files"]) > 0
+    for f in snap["files"]:
+        assert f["rows"] > 0
+        assert f["min_ts"] is not None and f["max_ts"] <= "2024-03-01"
+        assert 0 <= f["bucket"] < B
+
+
+def test_time_range_pruning(spark, table_root, pages_df):
+    snap, all_files = layout.plan_files(table_root)
+    _, pruned = layout.plan_files(
+        table_root, start="2023-12-01", end="2023-12-08"
+    )
+    assert 0 < len(pruned) < len(all_files)
+    # pruned read + residual filter == full read + filter
+    got = (
+        layout.read_table(spark, table_root, start="2023-12-01", end="2023-12-08")
+        .filter(
+            (F.col("warc_ts") >= "2023-12-01") & (F.col("warc_ts") < "2023-12-08")
+        )
+        .count()
+    )
+    want = (
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .filter(
+            (F.col("warc_ts") >= "2023-12-01") & (F.col("warc_ts") < "2023-12-08")
+        )
+        .count()
+    )
+    assert got == want
+
+
+def test_bucket_pruning_finds_all_rows_of_key(spark, table_root, pages_df):
+    url = pages_df.select("url").first()["url"]
+    buckets = layout.buckets_of_keys(spark, [url], B)
+    assert len(buckets) == 1
+    df = layout.read_table(spark, table_root, buckets=buckets)
+    want = pages_df.filter(F.col("url") == url).count()
+    assert df.filter(F.col("url") == url).count() == want
+    # and the pruned scan reads ~1/B of the files
+    _, files = layout.plan_files(table_root, buckets=buckets)
+    _, all_files = layout.plan_files(table_root)
+    assert len(files) < len(all_files)
+
+
+def test_append_snapshot_and_time_travel(spark, pages_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("layout2") / "t")
+    first = pages_df.limit(200)
+    layout.write_table(first, root, n_buckets=B)
+    n1 = layout.read_table(spark, root).count()
+
+    more = pages_df.orderBy(F.desc("url")).limit(100)
+    snap2 = layout.write_table(more, root, n_buckets=B, mode="append")
+    assert snap2 == 2
+    n2 = layout.read_table(spark, root).count()
+    assert n2 == n1 + 100
+
+    # time travel: snapshot 1 still reads the original rows
+    assert layout.read_table(spark, root, snapshot=1).count() == n1
+    snap = layout.current_snapshot(root)
+    assert snap["parent"] == 1
+
+
+def test_distributed_stats_match_local(spark, table_root):
+    snap = layout.current_snapshot(table_root)
+    rels = [f["path"] for f in snap["files"]]
+    dist = layout.collect_stats_distributed(
+        spark, table_root, rels, "url", "warc_ts"
+    )
+    local = sorted(snap["files"], key=lambda s: s["path"])
+    assert [
+        (d["path"], d["rows"], d["min_ts"], d["max_ts"]) for d in dist
+    ] == [(l["path"], l["rows"], l["min_ts"], l["max_ts"]) for l in local]
+
+
+def test_empty_prune_returns_empty_with_schema(spark, table_root):
+    df = layout.read_table(spark, table_root, start="2030-01-01", end="2031-01-01")
+    assert df.count() == 0
+    assert "url" in df.columns and "html" in df.columns
