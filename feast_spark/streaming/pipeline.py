@@ -1,0 +1,172 @@
+"""Structured Streaming operators (SURVEY.md §2.10, T1-T5).
+
+Upstream lineage: Feast's stream-ingestion path
+(``infra/contrib/spark_kafka_processor.py`` — Kafka → transform →
+online-store writer; local reference is a stub, SURVEY.md §0.1). Here the
+source is pluggable: Kafka in production, a file stream in this sandbox
+(same DataFrame surface — only ``readStream.format`` differs).
+
+Design rules:
+- event time is the page's ``warc_ts``; every stateful op watermarks on
+  it (T1) so state is bounded and late data beyond the watermark drops;
+- every streaming aggregate has a batch twin in ``operators.windows``
+  and the tests assert replay equivalence (SURVEY.md §5.2.7);
+- the online-store sink reuses the SAME latest-per-key upsert as batch
+  materialization via ``foreachBatch`` — one code path for serving
+  writes (T4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_pages(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str = PAGES_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S5: file-based page stream (sandbox stand-in for Kafka; on a real
+    cluster swap for ``readStream.format("kafka")`` + value decoding)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def with_watermark(
+    df: DataFrame, ts_col: str = "warc_ts", delay: str = "1 hour"
+) -> DataFrame:
+    """T1: bound state; events later than ``delay`` behind the max seen
+    event time are dropped from stateful ops."""
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, delay
+    )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    key: str = "lang",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T2: per-window, per-key counts (sliding when ``slide`` given).
+    Batch twin: groupBy(F.window(...)) on the same frame."""
+    s = with_watermark(df, ts_col, watermark)
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return s.groupBy(win.alias("w"), F.col(key)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        key,
+        "n",
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3: gap-based sessions via the native ``session_window`` operator —
+    the streaming twin of operators.windows.session_stats (W6); replay
+    equivalence is the key test (SURVEY.md §5.2.7)."""
+    s = with_watermark(df, ts_col, watermark)
+    return s.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("sw"), F.col(key)
+    ).agg(
+        F.min(ts_col).alias("sess_start"),
+        F.max(ts_col).alias("sess_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(key, "sess_start", "sess_end", "n_events")
+
+
+def stream_dedupe(
+    df: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("url", "warc_ts"),
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T5: drop duplicate (url, warc_ts) events within the watermark —
+    ingestion hygiene (batch twin: dropDuplicates)."""
+    s = with_watermark(df, ts_col, watermark)
+    return s.dropDuplicatesWithinWatermark(list(keys))
+
+
+def stream_latest_to_online(
+    stream_df: DataFrame,
+    dest: str,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    n_buckets: int = 16,
+    checkpoint: str | None = None,
+    transform=None,
+):
+    """T4: stateful latest-per-key → online-store upsert via
+    ``foreachBatch`` — each micro-batch runs the SAME bucketed upsert as
+    batch materialization, so streaming and batch serving stores are
+    byte-compatible. Returns the started StreamingQuery (caller awaits)."""
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        view = FeatureView(
+            name="stream_batch",
+            entity=Entity(key, key),
+            source=lambda s, b=batch_df: b,
+            features=[FeatureSpec(c, "string") for c in batch_df.columns],
+            timestamp_field=ts_col,
+        )
+        job = MaterializeJob(
+            batch_df.sparkSession, view, dest,
+            n_buckets=n_buckets, bucket_batch=n_buckets, transform=transform,
+        )
+        # the batch covers its own full time range
+        bounds = batch_df.agg(
+            F.min(F.col(ts_col).cast("timestamp")).alias("lo"),
+            F.max(F.col(ts_col).cast("timestamp")).alias("hi"),
+        ).first()
+        if bounds["lo"] is None:
+            return
+        import datetime as _dt
+
+        job.run(bounds["lo"], bounds["hi"] + _dt.timedelta(seconds=1))
+
+    writer = stream_df.writeStream.foreachBatch(upsert).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
+def run_to_memory(df: DataFrame, name: str, *, complete: bool = True):
+    """Test helper: drain an availableNow stream into an in-memory table
+    and block until done."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,116 @@
+"""Streaming operators (SURVEY.md §2.10) — replayed-file-stream results
+must equal their batch twins (§5.2.7)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.windows import session_stats
+from feast_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, pages_df, tmp_path_factory):
+    """Pages replayed as a 4-file stream (text/lang only; html dropped to
+    keep the fixture light)."""
+    d = str(tmp_path_factory.mktemp("stream") / "pages")
+    (
+        pages_df.select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                        F.lit(None).cast("binary").alias("html"), "text", "lang")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    return d
+
+
+def test_session_window_equals_batch(spark, stream_dir, pages_df):
+    """T3 streaming session_window == W6 batch sessionization."""
+    stream = sp.stream_pages(spark, stream_dir)
+    sess = sp.session_windows(stream, key="url", gap="30 minutes")
+    q = sp.run_to_memory(sess, "t3_sessions")
+    got = (
+        spark.table("t3_sessions")
+        .select("url", "sess_start", "sess_end", "n_events")
+    )
+
+    want = session_stats(
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp")),
+        key="url",
+        gap_seconds=1800,
+    ).select("url", "sess_start", "sess_end", "n_events")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    q.stop()
+
+
+def test_tumbling_counts_equal_batch(spark, stream_dir, pages_df):
+    stream = sp.stream_pages(spark, stream_dir)
+    agg = sp.tumbling_counts(stream, key="lang", window="1 day")
+    q = sp.run_to_memory(agg, "t2_counts")
+    got = spark.table("t2_counts")
+
+    want = (
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.window("warc_ts", "1 day").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "lang",
+            "n",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    q.stop()
+
+
+def test_stream_dedupe(spark, stream_dir):
+    stream = sp.stream_pages(spark, stream_dir)
+    dd = sp.stream_dedupe(stream, keys=("url", "warc_ts"))
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("t5_dedupe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t5_dedupe")
+    # generator injects exact (url, warc_ts) dups at ~1% — they must be gone
+    assert got.count() == got.select("url", "warc_ts").distinct().count()
+    q.stop()
+
+
+def test_stream_latest_to_online_matches_batch(
+    spark, stream_dir, pages_df, tmp_path_factory
+):
+    """T4: streaming upsert through foreachBatch lands the same latest
+    rows as a batch latest-per-key over the full replay."""
+    from feast_spark.materialize import read_online
+    from feast_spark.operators.windows import latest_per_key
+
+    dest = str(tmp_path_factory.mktemp("stream_online") / "store")
+    ckpt = str(tmp_path_factory.mktemp("stream_online") / "ckpt")
+    stream = sp.stream_pages(spark, stream_dir, max_files_per_trigger=1)
+    q = sp.stream_latest_to_online(
+        stream.select("url", "warc_ts", "lang"),
+        dest,
+        n_buckets=4,
+        checkpoint=ckpt,
+    )
+    q.awaitTermination()
+
+    got = read_online(spark, dest).select("url", "warc_ts")
+    want = latest_per_key(
+        pages_df.select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts")),
+        key="url",
+        order="warc_ts",
+    ).select("url", "warc_ts")
+    # urls must agree exactly; per-url latest ts must agree
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
