@@ -429,6 +429,296 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
+def q_pit_created_tiebreak(spark, sf_dir):
+    """A1/J1 tie-break: duplicate event_ts rows must resolve by max
+    created_ts (upstream created_timestamp_column semantics)."""
+    from feast_spark.operators.asof import asof_join
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.col("ts").alias("ets"), "value",
+        F.col("ts").cast("timestamp").alias("created"),
+    )
+    later = ev.select(
+        "user_id", F.col("ts").alias("ets"),
+        (F.col("value") + 1000).alias("value"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("created"),
+    )
+    feats = base.unionByName(later)
+    out = asof_join(
+        probes, feats, by="user_id", left_on="ts", right_on="ets",
+        ttl=timedelta(seconds=PIT_TTL_S), created_col="created",
+        strategy="union", include_event_ts=True, event_ts_name="event_ts",
+    )
+    return out.select("user_id", "ts", F.round("value", 6).alias("value"), "event_ts")
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "revenue", "gid")
+    )
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_collect_last_k(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    structs = F.collect_list(F.struct("ts", "event_id", "event_type"))
+    last3 = F.slice(F.reverse(F.array_sort(structs)), 1, 3)
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.transform(last3, lambda s: s["event_type"])).alias(
+            "last3_types"
+        )
+    )
+
+
+def q_map_json_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k"),
+        F.size(F.map_keys(m)).alias("nkeys"),
+    )
+
+
+def q_url_host_path(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit(".example/doc/"), F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+    )
+
+
+def q_daily_order_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+    )
+
+
+def q_tumbling_day_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts").cast("timestamp"), "1 day")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """J7: per anchor event, activity of the same user in the NEXT hour
+    (exclusive of the anchor itself)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    f = ev.select(
+        "user_id", F.col("ts").cast("timestamp").alias("f_ts"), "value"
+    )
+    j = p.join(
+        f,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("f_ts") > F.col("p_ts"))
+        & (F.col("f_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return j.groupBy("p_event").agg(
+        F.count("f_ts").alias("n_next_hour"),
+        (F.coalesce(F.sum(_cents("value")), F.lit(0)) / 100.0).alias("sum_next_hour"),
+    )
+
+
+def q_cross_join_totals(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    tot = o.agg((F.sum(_cents("o_totalprice")) / 100.0).alias("grand_total"))
+    return r.crossJoin(F.broadcast(tot)).select("r_name", "grand_total")
+
+
+def q_intersect_all(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.intersectAll(views)
+
+
+def q_drop_duplicates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+def q_quality_score(spark, sf_dir):
+    from feast_spark.operators.text import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_features(d.select("doc_id", "text"))
+    return q.select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        F.round("q_mean_token_len", 6).alias("mean_token_len"),
+        F.round("q_stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("q_upper_ratio", 6).alias("upper_ratio"),
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    from feast_spark.operators.text import n_tokens_bpe_ish
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens_bpe_ish("text").alias("n_bpe_tokens"))
+
+
+def q_fingerprint_clusters(spark, sf_dir):
+    """Document fingerprinting (rolling-hash-grade exact dedup): cluster
+    sizes must equal grouping by the normalized text itself (the hash is
+    injective on this corpus — oracle groups by the normalization)."""
+    from feast_spark.operators.dedupe import fingerprint_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return fingerprint_dedup_stats(dup, text_col="text", id_col="doc_id")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from feast_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    noisy = e.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(noisy)
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=0.9999, exact=True
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate ANN (rows-only: LSH recall is seed-dependent by
+    design; exactness is covered by cosine_topk)."""
+    from feast_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, qs, dim=64, k=5, n_bits=4).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from feast_spark.operators.dedupe import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    return simhash_near_dup_pairs(
+        d.unionByName(mutated), max_hamming=3
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from feast_spark.operators.dedupe import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        d.unionByName(mutated), threshold=0.7, shingle_k=3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → typed metadata struct
+    (mapInPandas). Payload here is the utf-8 text bytes (no codecs in
+    this container — see operators.multimodal)."""
+    from feast_spark.operators.multimodal import media_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = media_metadata(d)
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+        F.col("meta.kind").alias("kind"),
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from feast_spark.operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = decode_features(d)
+    return out.select(
+        "doc_id",
+        F.round("px_mean", 4).alias("px_mean"),
+        F.round("px_std", 4).alias("px_std"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    from feast_spark.operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return frame_sample(d, every_n_bytes=256, max_frames=4).select(
+        "doc_id", "frame_idx", F.length("frame_bytes").alias("frame_len")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -465,6 +755,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
+        "pit_created_tiebreak": q_pit_created_tiebreak,
+        "rollup_orders": q_rollup_orders,
+        "ntile_quartiles": q_ntile_quartiles,
+        "collect_last_k": q_collect_last_k,
+        "map_json_ops": q_map_json_ops,
+        "url_host_path": q_url_host_path,
+        "daily_order_stats": q_daily_order_stats,
+        "tumbling_day_counts": q_tumbling_day_counts,
+        "range_join_events": q_range_join_events,
+        "cross_join_totals": q_cross_join_totals,
+        "intersect_all": q_intersect_all,
+        "drop_duplicates": q_drop_duplicates,
+        "quality_score": q_quality_score,
+        "bpe_token_count": q_bpe_token_count,
+        "fingerprint_clusters": q_fingerprint_clusters,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -692,7 +1004,227 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM dup GROUP BY text
         """,
-        # minhash_near_dup / simhash_buckets / approx_distinct / lang_id:
-        # hash- or sketch-based — not expressible in portable SQL; the
-        # driver records rows-only checks (SURVEY.md §2 marks them `rows`).
+        "pit_created_tiebreak": f"""
+            WITH probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            feats AS (
+              SELECT user_id, ts AS ets, value, ts AS created FROM events
+              UNION ALL
+              SELECT user_id, ts, value + 1000, ts + INTERVAL 1 HOUR
+              FROM events
+            ),
+            ranked AS (
+              SELECT p.user_id, p.ts, f.value, f.ets,
+                     row_number() OVER (PARTITION BY p.user_id, p.ts
+                       ORDER BY f.ets DESC, f.created DESC) AS rn
+              FROM probes p JOIN feats f
+                ON p.user_id = f.user_id AND f.ets <= p.ts
+               AND f.ets >= p.ts - INTERVAL {PIT_TTL_S} SECONDS
+            )
+            SELECT p.user_id, p.ts, round(r.value, 6) AS value,
+                   r.ets AS event_ts
+            FROM probes p
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+              ON p.user_id = r.user_id AND p.ts = r.ts
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue,
+                   2 * grouping(o_orderstatus) + grouping(o_orderpriority)
+                     AS gid
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "ntile_quartiles": """
+            SELECT o_orderkey, o_orderstatus,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice ASC, o_orderkey ASC)
+        """,
+        "collect_last_k": """
+            SELECT user_id,
+                   array_to_string(
+                     (list(event_type ORDER BY ts DESC, event_id DESC))[1:3],
+                     ',') AS last3_types
+            FROM events GROUP BY user_id
+        """,
+        "map_json_ops": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   len(json_keys(props)) AS nkeys
+            FROM events
+        """,
+        "url_host_path": """
+            SELECT doc_id,
+                   source || '.example' AS host,
+                   '/doc/' || doc_id AS path
+            FROM documents
+        """,
+        "daily_order_stats": """
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   count(*) AS n,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "tumbling_day_counts": """
+            SELECT date_trunc('day', ts) AS w_start,
+                   date_trunc('day', ts) + INTERVAL 1 DAY AS w_end,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "range_join_events": """
+            WITH p AS (
+              SELECT user_id AS pu, event_id AS pe, ts AS pts
+              FROM events WHERE event_id % 50 = 0
+            )
+            SELECT p.pe AS p_event,
+                   count(f.ts) AS n_next_hour,
+                   coalesce(sum(CAST(round(f.value * 100) AS BIGINT)), 0)
+                     / 100.0 AS sum_next_hour
+            FROM p LEFT JOIN events f
+              ON p.pu = f.user_id AND f.ts > p.pts
+             AND f.ts <= p.pts + INTERVAL 1 HOUR
+            GROUP BY p.pe
+        """,
+        "cross_join_totals": """
+            SELECT r_name, grand_total
+            FROM region CROSS JOIN (
+              SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                AS grand_total FROM orders)
+        """,
+        "intersect_all": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'view'
+        """,
+        "drop_duplicates": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "quality_score": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(length(text) AS DOUBLE) AS len,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len AS BIGINT) AS q_n_chars,
+                   CAST(toks AS BIGINT) AS q_n_tokens,
+                   round((len - (toks - 1.0)) / greatest(CAST(toks AS DOUBLE), 1.0), 6)
+                     AS mean_token_len,
+                   round(len(list_filter(
+                       regexp_split_to_array(lower(text), '\s+'),
+                       x -> list_contains(['the','of','and','to','in','a','is',
+                         'that','it','for','on','with','as','are','was','be',
+                         'this','at','by','an'], x)))
+                     / greatest(CAST(toks AS DOUBLE), 1.0), 6) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     / greatest(len, 1.0), 6) AS upper_ratio
+            FROM t
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                     text, '([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])', 1))
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint_clusters": r"""
+            WITH dup AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM dup GROUP BY regexp_replace(lower(text), '\s+', ' ', 'g')
+        """,
+        "embedding_near_dup": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+            ),
+            corpus AS (
+              SELECT vec_id, embedding FROM base
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM base
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_sum(list_transform(
+                         range(1, len(a.embedding) + 1),
+                         i -> CAST(a.embedding[i] AS DOUBLE)
+                              * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(a.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                       AS cos
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 4) AS cosine
+            FROM pairs WHERE cos >= 0.9999
+        """,
+        "ngram_jaccard": r"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     array_to_string(
+                       (str_split(text, ' '))[1:len(str_split(text, ' ')) - 1],
+                       ' ')
+              FROM documents WHERE doc_id < 100
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(
+                         len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2,
+                         1) + 1),
+                       i -> array_to_string(
+                         (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+2],
+                         ' '))) AS s
+              FROM docs
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.7
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   CASE WHEN substr(text, 1, 3) = 'ID3' THEN 'mp3'
+                        WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+                        WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+                        ELSE 'unknown' END AS magic,
+                   CASE WHEN substr(text, 1, 3) = 'ID3'
+                          OR substr(text, 1, 4) = 'RIFF' THEN 'audio'
+                        WHEN substr(text, 1, 4) = 'GIF8' THEN 'image'
+                        ELSE 'unknown' END AS kind
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   least(256, octet_length(encode(text)) - i * 256)
+                     AS frame_len
+            FROM documents,
+                 unnest(range(0, least(4, greatest(1,
+                   octet_length(encode(text)) // 256)))) AS t(i)
+        """,
+        # rows-only (no portable-SQL oracle): minhash_near_dup,
+        # simhash_buckets, simhash_pairs (hash-family-specific),
+        # approx_distinct (HLL nondeterminism), lang_id (heuristic),
+        # lsh_ann_topk (seeded LSH recall), multimodal_decode (numpy fake
+        # decoder). The driver records rows-only checks for these.
     }

@@ -1,0 +1,185 @@
+"""Multimodal column plumbing (task spec: first-class component).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata structs; every transformation is an Arrow-batched kernel over
+``mapInPandas`` so MB-scale payloads stream through Python workers in
+bounded batches (session.ARROW_MAX_RECORDS_PER_BATCH caps batch bytes).
+
+The codec libraries (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode step is pluggable: ``decoder=None`` uses a clearly-marked
+deterministic fake (byte-statistics "decode") that keeps every piece of
+Spark-side plumbing — schema, batch shape, UDF signatures, partitioning —
+real and testable; pass a real decoder callable in production, or leave
+``strict=True`` to get NotImplementedError where a real codec is
+mandatory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha1", T.StringType()),
+        T.StructField("magic", T.StringType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+_MAGIC = {
+    b"\x89PNG": ("png", "image"),
+    b"\xff\xd8\xff": ("jpeg", "image"),
+    b"GIF8": ("gif", "image"),
+    b"RIFF": ("riff", "audio"),
+    b"ID3": ("mp3", "audio"),
+    b"\x1aE\xdf\xa3": ("mkv", "video"),
+}
+
+
+def _sniff(payload: bytes) -> tuple[str, str]:
+    for magic, (fmt, kind) in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return fmt, kind
+    return "unknown", "unknown"
+
+
+def media_metadata(
+    df: DataFrame, payload_col: str = "payload", out_col: str = "meta"
+) -> DataFrame:
+    """Typed metadata struct per payload: byte length, sha1, sniffed
+    container format. Pure function of the bytes — no codec needed."""
+    fields = list(df.schema.fields) + [T.StructField(out_col, MEDIA_META_SCHEMA)]
+    schema = T.StructType(fields)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    metas.append(None)
+                    continue
+                b = bytes(p)
+                fmt, kind = _sniff(b)
+                metas.append(
+                    {
+                        "n_bytes": len(b),
+                        "sha1": hashlib.sha1(b).hexdigest(),
+                        "magic": fmt,
+                        "kind": kind,
+                    }
+                )
+            pdf[out_col] = metas
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic FAKE decode (no codec libs in this container): a
+    16×16 'image' whose pixels are the byte histogram of the payload —
+    stable across runs, shape-compatible with a real decoder's output."""
+    hist = np.bincount(np.frombuffer(payload, dtype=np.uint8), minlength=256)
+    return (hist % 256).astype(np.uint8).reshape(16, 16)
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode → feature-extract: mean/std/size of the decoded array plus
+    a flattened 8-dim downsample (the embedding hook). ``strict=True``
+    refuses to run without a real decoder."""
+    if strict and decoder is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; pass decoder="
+        )
+    dec = decoder or _fake_decode
+    fields = list(df.schema.fields) + [
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_std", T.DoubleType()),
+        T.StructField("px_shape", T.ArrayType(T.IntegerType())),
+        T.StructField("px_feat8", T.ArrayType(T.FloatType())),
+    ]
+    schema = T.StructType(fields)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            means, stds, shapes, feats = [], [], [], []
+            for p in pdf[payload_col]:
+                if p is None:
+                    means.append(None)
+                    stds.append(None)
+                    shapes.append(None)
+                    feats.append(None)
+                    continue
+                arr = dec(bytes(p)).astype(np.float64)
+                means.append(float(arr.mean()))
+                stds.append(float(arr.std()))
+                shapes.append(list(arr.shape))
+                flat = arr.ravel()
+                chunks = np.array_split(flat, 8)
+                feats.append([float(c.mean()) for c in chunks])
+            pdf["px_mean"] = means
+            pdf["px_std"] = stds
+            pdf["px_shape"] = shapes
+            pdf["px_feat8"] = feats
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled "frame"
+    (fixed-stride byte windows standing in for video frames — a real
+    implementation swaps the slicer for a container-aware demuxer). The
+    expansion is mapInPandas → explode-shaped: rows multiply, payload
+    bytes are sliced per frame, ordering column preserved."""
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(
+        keep
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {c: [] for c in keep_names}
+            idxs, frames = [], []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                if p is None:
+                    continue
+                b = bytes(p)
+                n = min(max_frames, max(1, len(b) // every_n_bytes))
+                for i in range(n):
+                    for c in keep_names:
+                        rows[c].append(row[c])
+                    idxs.append(i)
+                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            out = pd.DataFrame(rows)
+            out["frame_idx"] = pd.Series(idxs, dtype="int32")
+            out["frame_bytes"] = frames
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)

@@ -120,6 +120,49 @@ def make_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int | None = None,
+    n_bits: int = 6,
+    exact: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    ``exact=True`` scores all O(N²) pairs via a self-join — the
+    correctness baseline for small N. Default is the scale path: a
+    random-hyperplane LSH self-join — near-identical vectors (cosine ≥
+    ~0.99) land in the same sign-bucket with high probability, so the
+    candidate set is per-bucket quadratic instead of corpus-quadratic;
+    exact cosine then verifies. At 10^12 docs this is the only viable
+    shape (bucket join + AQE skew split)."""
+    a_cols = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b_cols = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    if exact:
+        cand = a_cols.crossJoin(b_cols).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for LSH path")
+        planes = make_planes(dim, n_bits, seed)
+        a_sig = a_cols.withColumn("__sig", hyperplane_signature(F.col("__va"), planes))
+        b_sig = b_cols.withColumn("__sig", hyperplane_signature(F.col("__vb"), planes))
+        cand = a_sig.join(b_sig, "__sig").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
