@@ -79,8 +79,7 @@ def bench_pages_pipeline(spark, sf_name: str) -> tuple[float, float, int]:
 
     from feast_spark.datagen import generate_pages_distributed
     from feast_spark.operators.asof import asof_join
-    from feast_spark.operators.text import extract_text_col, quality_features
-    from feast_spark.operators.windows import latest_per_key, session_stats
+    from feast_spark.operators.text import extract_features_col
 
     n_urls = PAGES_URLS.get(sf_name, 2_000)
     path = _pages_path(sf_name, n_urls)
@@ -95,12 +94,9 @@ def bench_pages_pipeline(spark, sf_name: str) -> tuple[float, float, int]:
     n_rows = pages.count()
 
     t0 = time.monotonic()
-    # 1. vectorized extraction (mapInPandas, Arrow-batched)
-    extracted = extract_text_col(pages.select("url", "warc_ts", "html"))
-    # 2. JVM-side quality features over the extracted text
-    feats = quality_features(
-        extracted.withColumnRenamed("extracted_text", "text").drop("html")
-    )
+    # 1+2. fused extraction + per-doc features in ONE Arrow kernel (only
+    # compact numerics return to the JVM — the 100 TB hot path)
+    feats = extract_features_col(pages.select("url", "warc_ts", "html"))
     # 3. windowed builders: lag + rolling count per url
     from pyspark.sql import Window
 

@@ -46,6 +46,44 @@ def test_spec_extractor_handles_edge_cases():
     assert extract_text(b"<h1>t</h1><p>a <b>b</b> c</p>") == "t\na b c"
 
 
+def test_fused_kernel_matches_unfused_path(spark, pages_df):
+    """extract_features_col (fused Arrow kernel, the bench hot path) must
+    equal extract_text_col + quality_features (the JVM-expression path)
+    on every shared column, and its optional text output must stay
+    byte-identical to the spec."""
+    from feast_spark.operators.text import extract_features_col
+
+    src = pages_df.select("url", "warc_ts", "html", "text")
+    fused = extract_features_col(src, include_text=True)
+    unfused = quality_features(
+        extract_text_col(src)
+        .drop("text")
+        .withColumnRenamed("extracted_text", "text")
+    )
+    cols = [
+        "q_n_chars", "q_n_tokens", "q_punct_ratio", "q_digit_ratio",
+        "q_upper_ratio", "q_stopword_ratio",
+    ]
+    a = fused.select("url", "warc_ts", *cols)
+    b = unfused.select(
+        "url", "warc_ts",
+        *[F.round(c, 9).alias(c) if "ratio" in c else F.col(c) for c in cols],
+    )
+    a = a.select(
+        "url", "warc_ts",
+        *[F.round(c, 9).alias(c) if "ratio" in c else F.col(c) for c in cols],
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # byte-identity of the optional text output
+    assert (
+        fused.filter(
+            F.encode("extracted_text", "utf-8") != F.encode("text", "utf-8")
+        ).count()
+        == 0
+    )
+
+
 def test_quality_features_jvm_vs_pandas(spark, pages_df):
     """The JVM punct_ratio expression must equal the Arrow/pandas kernel
     (cross-check of the two vectorized paths)."""

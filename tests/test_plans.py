@@ -1,0 +1,105 @@
+"""Plan-quality assertions (SURVEY.md §4.1, §7.1.4): column pruning,
+predicate pushdown, broadcast selection, strategy chooser. These guard
+the 100 TB properties that row-count tests can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_column_pruning_excludes_html(spark, pages_df, tmp_path_factory):
+    """html:binary is ~99% of table bytes; plans that don't need it must
+    never read it from parquet."""
+    d = str(tmp_path_factory.mktemp("prune") / "pages")
+    pages_df.write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d).select("url", "lang").groupBy("lang").count()
+    plan = _formatted(df)
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all("html" not in l for l in scan), scan
+
+
+def test_filter_pushdown_to_parquet(spark, pages_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("push") / "pages")
+    pages_df.write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d).filter(F.col("lang") == "en").select("url")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+
+
+def test_asof_broadcast_strategy_broadcasts(spark, pages_df, probes_df):
+    from feast_spark.operators.asof import asof_join
+
+    out = asof_join(
+        probes_df.select("url", "ts"),
+        pages_df.select("url", "warc_ts", "lang"),
+        by="url", left_on="ts", right_on="warc_ts", ttl=86400 * 30,
+        strategy="broadcast",
+    )
+    plan = _formatted(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_union_is_single_window_no_join(spark, pages_df, probes_df):
+    """J1's plan shape: no join operator at all — one union, one Window."""
+    from feast_spark.operators.asof import asof_join
+
+    out = asof_join(
+        probes_df.select("url", "ts"),
+        pages_df.select("url", "warc_ts", "lang"),
+        by="url", left_on="ts", right_on="warc_ts", ttl=86400 * 30,
+        strategy="union",
+    )
+    plan = _formatted(out)
+    assert "Union" in plan
+    assert "Join" not in plan, plan
+    # exactly one shuffle bringing both sides to url-partitioning
+    assert plan.count("Exchange") <= 2
+
+
+def test_small_dim_join_autobroadcasts(spark, pages_df):
+    dims = pages_df.sparkSession.createDataFrame(
+        [("en", "english"), ("de", "german")], "lang string, lang_name string"
+    )
+    j = pages_df.select("url", "lang").join(dims, "lang")
+    assert "BroadcastHashJoin" in _formatted(j)
+
+
+def test_strategy_chooser(spark, probes_df):
+    from feast_spark.plans.retrieval import choose_strategy
+
+    assert choose_strategy(probes_df) == "broadcast"  # tiny probe set
+    assert choose_strategy(probes_df, probe_count_hint=10**9) == "union"
+
+
+def test_quality_features_stay_jvm_side(spark, pages_df):
+    """No BatchEvalPython / PythonUDF nodes in the quality-feature plan —
+    the binding 'no per-row Python' rule."""
+    from feast_spark.operators.text import quality_features
+
+    df = quality_features(pages_df.select("url", "text"))
+    plan = _formatted(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_whole_stage_codegen_covers_filters(spark, pages_df):
+    df = (
+        pages_df.select("url", "lang", F.length("text").alias("n"))
+        .filter(F.col("n") > 10)
+        .groupBy("lang")
+        .agg(F.avg("n"))
+    )
+    df.collect()  # AQE finalizes the plan only on execution
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    plan = _formatted(df)
+    assert "[codegen id :" in plan, plan
+    for op in ("Filter", "Project", "HashAggregate"):
+        assert any(
+            op in l and "[codegen id :" in l for l in plan.splitlines()
+        ), f"{op} not codegen'd"
