@@ -68,6 +68,16 @@ def run_level(cores: int) -> dict:
     return json.loads(line)
 
 
+def _mp_work(chunk) -> int:
+    """Top-level so mp.Pool can pickle it."""
+    from feast_spark.extract_spec import extract_text
+
+    n = 0
+    for h in chunk:
+        n += len(extract_text(h))
+    return n
+
+
 def mp_control(n_docs: int = 100_000) -> dict:
     """Spark-free control: raw multiprocessing over the same extraction
     kernel on a sample of the bench html. Separates the PLATFORM's
@@ -77,16 +87,9 @@ def mp_control(n_docs: int = 100_000) -> dict:
 
     import pyarrow.parquet as pq
 
-    from feast_spark.extract_spec import extract_text
-
     t = pq.read_table(PAGES, columns=["html"])
     htmls = t.column("html").to_pylist()[:n_docs]
-
-    def work(chunk):
-        n = 0
-        for h in chunk:
-            n += len(extract_text(h))
-        return n
+    work = _mp_work
 
     out = {}
     for procs in sorted({*LEVELS, SATURATION_LEVEL}):

@@ -70,11 +70,18 @@ def main() -> None:
         F.lag("q_n_chars", 1).over(w).alias("lag1_n_chars"),
         F.count(F.lit(1)).over(wr).alias("roll7d_count"),
     )
+    # Materialize the (tiny) probe set up front: otherwise its scan stage
+    # races the extraction stage for task slots and the Python workers
+    # idle — measured 42s vs 75-90s run-to-run variance at 32 cores from
+    # exactly this scheduler race. (Cluster equivalent: probes are their
+    # own small table, not a rescan of the 100 TB pages table.)
     probes = (
         pages.select("url")
         .distinct()
         .withColumn("ts", F.lit("2024-02-01 00:00:00").cast("timestamp"))
+        .persist()
     )
+    probes.count()
     retrieved = asof_join(
         probes, feats, by="url", left_on="ts", right_on="warc_ts",
         ttl=90 * 86400, strategy="union",

@@ -719,6 +719,40 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_znorm_per_user(spark, sf_dir):
+    """V3 grouped-map (applyInPandas): per-user z-score of event values;
+    must equal the SQL window formulation exactly."""
+    from feast_spark.operators.vectorized import znorm_per_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = znorm_per_key(ev, "value", key="user_id", out_col="z")
+    return out.select("event_id", F.round("z", 6).alias("z"))
+
+
+def q_grouped_quantile_udf(spark, sf_dir):
+    """V4 grouped-agg pandas UDF: numpy quantile == DuckDB quantile_cont
+    (same linear interpolation)."""
+    from feast_spark.operators.vectorized import grouped_quantile
+
+    d = _t(spark, sf_dir, "documents")
+    out = grouped_quantile(
+        d.select("lang", F.col("n_chars").cast("double").alias("v")),
+        "v", key="lang", q=0.25, out_col="p25",
+    )
+    return out.select("lang", F.round("p25", 6).alias("p25"))
+
+
+def q_arrow_byte_stats(spark, sf_dir):
+    """V5 mapInArrow: zero-copy byte stats over a binary column."""
+    from feast_spark.operators.vectorized import arrow_byte_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = arrow_byte_stats(d, "payload")
+    return out.select("doc_id", "b_len", "b_first", "b_last")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -777,6 +811,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "znorm_per_user": q_znorm_per_user,
+        "grouped_quantile_udf": q_grouped_quantile_udf,
+        "arrow_byte_stats": q_arrow_byte_stats,
     }
 
 
@@ -1221,6 +1258,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(range(0, least(4, greatest(1,
                    octet_length(encode(text)) // 256)))) AS t(i)
+        """,
+        "znorm_per_user": """
+            SELECT event_id,
+                   round(CASE WHEN count(*) OVER w > 1
+                              AND stddev_samp(value) OVER w > 0
+                         THEN (value - avg(value) OVER w)
+                              / stddev_samp(value) OVER w END, 6) AS z
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+        """,
+        "grouped_quantile_udf": """
+            SELECT lang,
+                   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6)
+                     AS p25
+            FROM documents GROUP BY lang
+        """,
+        "arrow_byte_stats": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS b_len,
+                   CASE WHEN length(text) = 0 THEN NULL
+                        ELSE ascii(substr(text, 1, 1)) END AS b_first,
+                   CASE WHEN length(text) = 0 THEN NULL
+                        ELSE ascii(substr(text, length(text), 1)) END
+                     AS b_last
+            FROM documents
         """,
         # rows-only (no portable-SQL oracle): minhash_near_dup,
         # simhash_buckets, simhash_pairs (hash-family-specific),

@@ -80,6 +80,20 @@ class FeatureView:
         return df
 
 
+@dataclass
+class OnDemandFeatureView:
+    """A pandas row-transform computed at retrieval time on top of
+    retrieved features (upstream feast/on_demand_feature_view.py).
+    ``transform`` maps a pandas DataFrame of the source features to a
+    DataFrame of the new feature columns; runs per Arrow batch
+    (vectorized — the binding "no per-row Python" rule)."""
+
+    name: str
+    sources: list[str]  # "view:feature" refs the transform consumes
+    transform: Callable  # pd.DataFrame -> pd.DataFrame
+    schema: list[tuple[str, str]]  # [(out_col, spark dtype), ...]
+
+
 class FeatureStore:
     """Facade: register views, run historical retrieval + materialization.
 
@@ -92,6 +106,7 @@ class FeatureStore:
         self.spark = spark
         self.root = root
         self._views: dict[str, FeatureView] = {}
+        self._odfvs: dict[str, "OnDemandFeatureView"] = {}
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_registry()
@@ -143,7 +158,10 @@ class FeatureStore:
             json.dump({"views": views}, f, indent=1)
         os.replace(tmp, self._registry_path)
 
-    def apply(self, view: FeatureView) -> None:
+    def apply(self, view) -> None:
+        if isinstance(view, OnDemandFeatureView):
+            self._odfvs[view.name] = view
+            return  # code-backed; not persisted to JSON
         self._views[view.name] = view
         self._save_registry()
 
@@ -164,10 +182,32 @@ class FeatureStore:
         """
         from feast_spark.plans.retrieval import plan_retrieval
 
-        return plan_retrieval(
-            self, entity_df, features, full_feature_names=full_feature_names,
-            strategy=strategy,
+        odfv_refs = [f for f in features if f.split(":")[0] in self._odfvs]
+        base_refs = [f for f in features if f not in odfv_refs]
+        needed = dict.fromkeys(base_refs)  # ordered set
+        for ref in odfv_refs:
+            for src in self._odfvs[ref.split(":")[0]].sources:
+                needed.setdefault(src, None)
+        out = plan_retrieval(
+            self, entity_df, list(needed),
+            full_feature_names=full_feature_names, strategy=strategy,
         )
+        for name in dict.fromkeys(r.split(":")[0] for r in odfv_refs):
+            from feast_spark.operators.vectorized import on_demand_transform
+
+            odfv = self._odfvs[name]
+            out = on_demand_transform(out, odfv.transform, odfv.schema)
+        return out
+
+    def get_online_features(
+        self, store_path: str, keys: list[str], *, key_col: str | None = None
+    ) -> DataFrame:
+        """Point-lookup path (upstream get_online_features): read the
+        materialized serving store pruned to the keys' buckets."""
+        from feast_spark.materialize import read_online
+
+        kc = key_col or "url"
+        return read_online(self.spark, store_path, keys, key_col=kc)
 
     def materialize(self, view_name: str, start, end, dest: str, **kw):
         from feast_spark.materialize import MaterializeJob

@@ -1,0 +1,90 @@
+"""Registry surface: on-demand feature views, registry persistence,
+online point lookups (upstream feature_store.py parity)."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.registry import (
+    Entity,
+    FeatureSpec,
+    FeatureStore,
+    FeatureView,
+    OnDemandFeatureView,
+)
+
+
+@pytest.fixture()
+def store(spark, data_dir):
+    import os
+
+    s = FeatureStore(spark)
+    s.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=lambda sp: sp.read.parquet(
+                os.path.join(data_dir, "pages.parquet")
+            ).withColumn("n_chars", F.length("text").cast("long")),
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    return s
+
+
+def test_on_demand_feature_view(spark, store, probes_df):
+    store.apply(
+        OnDemandFeatureView(
+            name="derived",
+            sources=["pg:n_chars"],
+            transform=lambda pdf: pd.DataFrame(
+                {"log_chars": pd.Series(pdf["n_chars"], dtype="float64").apply(
+                    lambda x: None if pd.isna(x) else float(x) ** 0.5
+                )}
+            ),
+            schema=[("log_chars", "double")],
+        )
+    )
+    out = store.get_historical_features(
+        probes_df, ["pg:n_chars", "derived:log_chars"]
+    ).toPandas()
+    hit = out[out["n_chars"].notna()]
+    assert len(hit) > 0
+    assert (abs(hit["log_chars"] - hit["n_chars"] ** 0.5) < 1e-9).all()
+    miss = out[out["n_chars"].isna()]
+    assert miss["log_chars"].isna().all()
+
+
+def test_odfv_pulls_sources_automatically(spark, store, probes_df):
+    """Requesting ONLY the on-demand feature must still join its source
+    features under the hood."""
+    store.apply(
+        OnDemandFeatureView(
+            name="d2",
+            sources=["pg:n_chars"],
+            transform=lambda pdf: pd.DataFrame(
+                {"double_chars": pdf["n_chars"] * 2}
+            ),
+            schema=[("double_chars", "bigint")],
+        )
+    )
+    out = store.get_historical_features(probes_df, ["d2:double_chars"])
+    assert "double_chars" in out.columns
+    assert out.filter(F.col("double_chars").isNotNull()).count() > 0
+
+
+def test_get_online_features(spark, store, pages_df, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("reg_online") / "store")
+    store.materialize(
+        "pg", "2023-11-01", "2024-03-01", dest, n_buckets=4, bucket_batch=4
+    )
+    urls = [r["url"] for r in pages_df.select("url").distinct().limit(5).collect()]
+    out = store.get_online_features(dest, urls)
+    got = {r["url"] for r in out.select("url").collect()}
+    assert got == set(urls)
