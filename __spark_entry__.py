@@ -753,6 +753,28 @@ def q_arrow_byte_stats(spark, sf_dir):
     return out.select("doc_id", "b_len", "b_first", "b_last")
 
 
+def q_salted_group_agg(spark, sf_dir):
+    """Two-phase salted aggregation (hot-key policy): must equal the
+    plain GROUP BY exactly — only the shuffle shape differs."""
+    from feast_spark.operators.skew import salted_group_agg
+
+    li = _t(spark, sf_dir, "lineitem").withColumn("qc", _cents("l_quantity"))
+    out = salted_group_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": ("qc", "count"),
+            "qty_cents": ("qc", "sum"),
+            "min_qty_cents": ("qc", "min"),
+            "max_qty_cents": ("qc", "max"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag", "n", "qty_cents", "min_qty_cents", "max_qty_cents"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -811,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "frame_sample": q_frame_sample,
+        "salted_group_agg": q_salted_group_agg,
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
         "arrow_byte_stats": q_arrow_byte_stats,
@@ -1258,6 +1281,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  unnest(range(0, least(4, greatest(1,
                    octet_length(encode(text)) // 256)))) AS t(i)
+        """,
+        "salted_group_agg": """
+            SELECT l_returnflag, count(*) AS n,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+                   min(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS min_qty_cents,
+                   max(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS max_qty_cents
+            FROM lineitem GROUP BY l_returnflag
         """,
         "znorm_per_user": """
             SELECT event_id,

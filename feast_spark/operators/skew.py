@@ -1,0 +1,114 @@
+"""Hot-key (skew) detection and salting policy (SURVEY.md §4.2.2; north
+rule: "key-salting for hot domains").
+
+AQE's skew-join splitting fixes skewed JOIN partitions at runtime, but
+Spark has no runtime fix for a skewed ``Window.partitionBy(key)`` or
+``groupBy(key)``: one hot url/domain = one giant task. The engine policy
+is explicit:
+
+1. ``detect_hot_keys`` — one cheap pre-pass aggregation (map-side
+   combinable count, optionally on a sample) returning keys whose row
+   count exceeds a threshold. At 100 TB this runs on the manifest's
+   per-file stats first (bucket row counts bound the answer) and only
+   scans when a bucket is suspicious.
+2. ``salted_group_agg`` — two-phase aggregation for DECOMPOSABLE
+   aggregates: partial agg on (key, salt) → final agg on key. Bounded
+   partition size regardless of skew; exact same results.
+3. For order-dependent windows over hot keys, use
+   ``windows.salted_rolling_count`` (two-phase over time buckets) or
+   route the hot keys through the cogroup/merge path off the critical
+   path (operators.asof).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_HOT_THRESHOLD = 1_000_000
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str | Column,
+    *,
+    threshold: int = DEFAULT_HOT_THRESHOLD,
+    sample_fraction: float | None = None,
+    max_keys: int = 10_000,
+) -> DataFrame:
+    """Keys with more than ``threshold`` rows (scaled when sampling).
+    One shuffle of (key, partial_count) pairs — map-side combine keeps
+    the shuffle proportional to distinct keys, not rows."""
+    k = F.col(key) if isinstance(key, str) else key
+    src = df
+    eff_threshold = threshold
+    if sample_fraction:
+        src = df.sample(fraction=sample_fraction, seed=42)
+        eff_threshold = int(threshold * sample_fraction)
+    return (
+        src.groupBy(k.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > eff_threshold)
+        .orderBy(F.col("n").desc())
+        .limit(max_keys)
+    )
+
+
+def domain_of(url_col: str | Column = "url") -> Column:
+    """Registrable-host extraction for hot-DOMAIN policies."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def salted_group_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[str, str]],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for decomposable aggregates.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {count, sum, min, max}. Phase 1 aggregates on (key, salt) — at most
+    ``salt`` partial rows per key regardless of how hot it is; phase 2
+    merges partials per key. Result is EXACTLY groupBy(key).agg(...);
+    only the shuffle shape changes (verified in tests/test_skew.py).
+
+    avg/stddev: derive from sum+count/sumsq-composition at the call
+    site — they are not directly mergeable by name.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    phase1 = []
+    phase2 = []
+    for out, (col, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"non-decomposable agg {fn!r}; compose it from sum/count")
+        p = f"__p_{out}"
+        phase1.append(getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(p))
+        phase2.append(getattr(F, merge_fn[fn])(p).alias(out))
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    )
+    partial = salted.groupBy(key, "__salt").agg(*phase1)
+    return partial.groupBy(key).agg(*phase2)
+
+
+def plan_salting(
+    df: DataFrame,
+    key: str,
+    *,
+    threshold: int = DEFAULT_HOT_THRESHOLD,
+    sample_fraction: float | None = 0.01,
+) -> dict:
+    """The driver-side policy step: probe for skew, return a plan dict
+    ``{hot_keys: [...], use_salting: bool}`` the caller can branch on.
+    Deliberately explicit (no hidden magic): at 100 TB you want the
+    skew decision visible in the job log."""
+    hot = [
+        r["key"]
+        for r in detect_hot_keys(
+            df, key, threshold=threshold, sample_fraction=sample_fraction
+        ).collect()
+    ]
+    return {"hot_keys": hot, "use_salting": bool(hot), "threshold": threshold}

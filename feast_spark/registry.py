@@ -158,12 +158,39 @@ class FeatureStore:
             json.dump({"views": views}, f, indent=1)
         os.replace(tmp, self._registry_path)
 
-    def apply(self, view) -> None:
+    def apply(self, view, validate: bool = False) -> None:
         if isinstance(view, OnDemandFeatureView):
             self._odfvs[view.name] = view
             return  # code-backed; not persisted to JSON
+        if validate:
+            self.validate_view(view)
         self._views[view.name] = view
         self._save_registry()
+
+    def validate_view(self, view: FeatureView) -> None:
+        """Schema validation at registration (upstream feast validates
+        sources against declared fields on apply): the source must carry
+        the entity join key, the timestamp field(s), and every declared
+        feature with a compatible Spark dtype."""
+        df = view.load(self.spark)
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = []
+        for col in [view.entity.join_key, view.timestamp_field] + (
+            [view.created_timestamp_column] if view.created_timestamp_column else []
+        ):
+            if col not in have:
+                missing.append(col)
+        mistyped = []
+        for spec in view.features:
+            if spec.name not in have:
+                missing.append(spec.name)
+            elif have[spec.name] != spec.dtype:
+                mistyped.append((spec.name, have[spec.name], spec.dtype))
+        if missing or mistyped:
+            raise ValueError(
+                f"view {view.name!r} failed schema validation: "
+                f"missing={missing} mistyped(actual,declared)={mistyped}"
+            )
 
     def get_view(self, name: str) -> FeatureView:
         return self._views[name]

@@ -79,6 +79,27 @@ def test_odfv_pulls_sources_automatically(spark, store, probes_df):
     assert out.filter(F.col("double_chars").isNotNull()).count() > 0
 
 
+def test_validate_view(spark, store, data_dir):
+    import os
+
+    good = store.get_view("pg")
+    store.validate_view(good)  # must not raise
+
+    bad = FeatureView(
+        name="bad",
+        entity=Entity("url", "url"),
+        source=os.path.join(data_dir, "pages.parquet"),
+        features=[
+            FeatureSpec("nope", "bigint"),       # missing column
+            FeatureSpec("lang", "bigint"),       # wrong dtype (string)
+        ],
+        timestamp_field="warc_ts",
+    )
+    with pytest.raises(ValueError, match="schema validation"):
+        store.apply(bad, validate=True)
+    assert "bad" not in store._views
+
+
 def test_get_online_features(spark, store, pages_df, tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("reg_online") / "store")
     store.materialize(

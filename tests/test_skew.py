@@ -1,0 +1,77 @@
+"""Hot-key detection + salted aggregation (SURVEY.md §4.2.2: the
+explicit skew policy AQE can't provide for windows/groupBy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.skew import (
+    detect_hot_keys,
+    domain_of,
+    plan_salting,
+    salted_group_agg,
+)
+
+
+def test_detect_hot_keys_finds_zipf_head(spark, pages_df):
+    """The Zipf(1.3) domain distribution has a hot head — detection on
+    the domain key must surface it."""
+    d = pages_df.withColumn("domain", domain_of("url"))
+    total = d.count()
+    hot = detect_hot_keys(d, "domain", threshold=total // 20).toPandas()
+    assert len(hot) >= 1
+    # the hottest domain in the fixture is d000.example (rank-1 Zipf)
+    assert hot.iloc[0]["key"] == "d000.example"
+    assert (hot["n"] > total // 20).all()
+
+
+def test_detect_hot_keys_sampled(spark, pages_df):
+    d = pages_df.withColumn("domain", domain_of("url"))
+    total = d.count()
+    hot = detect_hot_keys(
+        d, "domain", threshold=total // 10, sample_fraction=0.5
+    ).toPandas()
+    # rank-1 domain must survive sampling
+    assert "d000.example" in set(hot["key"])
+
+
+def test_salted_group_agg_exact(spark, pages_df):
+    d = pages_df.select(
+        domain_of("url").alias("domain"), F.length("text").alias("n")
+    )
+    got = salted_group_agg(
+        d,
+        "domain",
+        {
+            "cnt": ("n", "count"),
+            "total": ("n", "sum"),
+            "lo": ("n", "min"),
+            "hi": ("n", "max"),
+        },
+        salt=8,
+    )
+    want = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("total"),
+        F.min("n").alias("lo"),
+        F.max("n").alias("hi"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_salted_group_agg_rejects_nondecomposable(spark, pages_df):
+    d = pages_df.select(domain_of("url").alias("domain"), F.length("text").alias("n"))
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_group_agg(d, "domain", {"m": ("n", "avg")})
+
+
+def test_plan_salting(spark, pages_df):
+    d = pages_df.withColumn("domain", domain_of("url"))
+    total = d.count()
+    plan = plan_salting(d, "domain", threshold=total // 20, sample_fraction=None)
+    assert plan["use_salting"] is True
+    assert "d000.example" in plan["hot_keys"]
+    cold = plan_salting(d, "domain", threshold=total * 2, sample_fraction=None)
+    assert cold["use_salting"] is False and cold["hot_keys"] == []
