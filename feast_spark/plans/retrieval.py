@@ -57,9 +57,34 @@ def plan_retrieval(
 
     out = entity_df
     chosen = strategy or choose_strategy(entity_df, probe_count_hint)
+    probe_bounds = None
     for view_name, feats in by_view.items():
         fv = store.get_view(view_name)
-        src = fv.load(store.spark)
+        src_kw: dict = {}
+        n_buckets = None
+        if fv.layout_root:
+            # manifest pruning by probe time range + TTL: files wholly
+            # outside [min(ts) - ttl, max(ts)] never reach Spark — the
+            # Iceberg-planning analogue for retrieval (SURVEY.md S2)
+            if probe_bounds is None:
+                from pyspark.sql import functions as F
+
+                b = entity_df.agg(
+                    F.min(F.col("ts").cast("timestamp")).alias("lo"),
+                    F.max(F.col("ts").cast("timestamp")).alias("hi"),
+                ).first()
+                probe_bounds = (b["lo"], b["hi"])
+            lo, hi = probe_bounds
+            if lo is not None:
+                if fv.ttl is not None:
+                    lo = lo - fv.ttl
+                import datetime as _dt
+
+                src_kw = {"start": lo, "end": hi + _dt.timedelta(seconds=1)}
+            from feast_spark.sources.pages import current_snapshot
+
+            n_buckets = current_snapshot(fv.layout_root)["n_buckets"]
+        src = fv.load(store.spark, **src_kw)
         declared = {s.name for s in fv.features}
         unknown = [f for f in feats if f not in declared]
         if unknown:
@@ -74,6 +99,10 @@ def plan_retrieval(
             created_col=fv.created_timestamp_column,
             feature_cols=feats,
             strategy=chosen,
+            # layout-aligned bucket count: the cogroup strategy then
+            # repartitions on the SAME pmod(xxhash64(url), B) the table
+            # was written with (SURVEY.md §4.2.3)
+            n_buckets=n_buckets if chosen == "cogroup" else None,
         )
         if full_feature_names:
             joined = joined.withColumnsRenamed(

@@ -54,18 +54,31 @@ class FeatureView:
     created_timestamp_column: str | None = None
     field_mapping: dict[str, str] = field(default_factory=dict)
 
-    def load(self, spark: SparkSession) -> DataFrame:
+    @property
+    def layout_root(self) -> str | None:
+        """Path of the Iceberg-style layout backing this view, if any."""
+        if not callable(self.source) and os.path.isdir(
+            os.path.join(str(self.source), "metadata")
+        ):
+            return str(self.source)
+        return None
+
+    def load(
+        self, spark: SparkSession, *, start=None, end=None
+    ) -> DataFrame:
         """Resolve the source to a DataFrame, apply field mapping, and
         normalize the event-time column to TIMESTAMP (Spark 4 loads
-        parquet timestamp[us] as TIMESTAMP_NTZ — SURVEY.md §0.3)."""
+        parquet timestamp[us] as TIMESTAMP_NTZ — SURVEY.md §0.3).
+        ``start``/``end`` prune layout-backed sources via the manifest
+        (files outside the range never reach Spark)."""
         from pyspark.sql import functions as F
 
         if callable(self.source):
             df = self.source(spark)
-        elif os.path.isdir(os.path.join(str(self.source), "metadata")):
+        elif self.layout_root:
             from feast_spark.sources.pages import read_table
 
-            df = read_table(spark, str(self.source))
+            df = read_table(spark, self.layout_root, start=start, end=end)
         else:
             df = spark.read.parquet(str(self.source))
         if self.field_mapping:

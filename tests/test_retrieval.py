@@ -1,0 +1,98 @@
+"""Retrieval planner over layout-backed views: manifest pruning by probe
+bounds + TTL, multi-view chaining, full feature names (SURVEY.md §3.1,
+§4.2.3)."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+from feast_spark.sources import pages as layout
+
+
+@pytest.fixture(scope="module")
+def lstore(spark, pages_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ret") / "table")
+    enriched = pages_df.withColumn("n_chars", F.length("text").cast("long"))
+    layout.write_table(enriched, root, n_buckets=4)
+    s = FeatureStore(spark)
+    s.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=root,
+            features=[FeatureSpec("n_chars", "bigint"), FeatureSpec("lang", "string")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    return s, root
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast", "cogroup"])
+def test_layout_retrieval_all_strategies(spark, lstore, probes_df, strategy):
+    store, _root = lstore
+    out = store.get_historical_features(
+        probes_df, ["pg:n_chars", "pg:lang"], strategy=strategy
+    )
+    assert out.count() == probes_df.count()
+    assert out.filter(F.col("n_chars").isNotNull()).count() > 0
+
+
+def test_probe_bounds_prune_the_scan(spark, lstore, probes_df):
+    """Narrow probe window ⇒ the manifest prunes most files: results
+    must still match the unpruned plan for those probes."""
+    store, root = lstore
+    narrow = probes_df.filter(
+        (F.col("ts") >= "2023-12-01") & (F.col("ts") < "2023-12-08")
+    )
+    n = narrow.count()
+    if n == 0:
+        pytest.skip("no probes in window")
+    got = store.get_historical_features(narrow, ["pg:n_chars"], strategy="union")
+    # equivalent unpruned computation
+    full = store.get_historical_features(
+        probes_df, ["pg:n_chars"], strategy="union"
+    ).join(narrow.select("url", "ts"), ["url", "ts"], "left_semi")
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # and the manifest really prunes: files overlapping the padded range
+    # are a strict subset of all files
+    snap, pruned = layout.plan_files(
+        root, start="2023-09-02", end="2023-12-08"
+    )
+    assert len(pruned) < len(snap["files"])
+
+
+def test_multi_view_full_feature_names(spark, lstore, probes_df, data_dir):
+    import os
+
+    store, _root = lstore
+    store.apply(
+        FeatureView(
+            name="pg2",
+            entity=Entity("url", "url"),
+            source=lambda sp: sp.read.parquet(
+                os.path.join(data_dir, "pages.parquet")
+            ).withColumn("n_tokens", F.size(F.split("text", r"\s+")).cast("long")),
+            features=[FeatureSpec("n_tokens", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    out = store.get_historical_features(
+        probes_df,
+        ["pg:n_chars", "pg2:n_tokens"],
+        full_feature_names=True,
+    )
+    assert "pg__n_chars" in out.columns
+    assert "pg2__n_tokens" in out.columns
+    assert out.count() == probes_df.count()
+    # rows that hit in one view hit in the other (same source data)
+    mism = out.filter(
+        F.col("pg__n_chars").isNotNull() != F.col("pg2__n_tokens").isNotNull()
+    ).count()
+    assert mism == 0
