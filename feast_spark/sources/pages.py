@@ -54,9 +54,17 @@ def bucket_expr(key_col: str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
 
 
-def dt_expr(ts_col: str) -> Column:
-    """Iceberg ``days(ts)`` transform as yyyy-MM-dd strings."""
-    return F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd")
+_DT_PATTERNS = {"day": "yyyy-MM-dd", "week": "yyyy-ww", "month": "yyyy-MM"}
+
+
+def dt_expr(ts_col: str, granularity: str = "day") -> Column:
+    """Iceberg ``days()/months()`` time transform as sortable strings.
+    Coarser granularities avoid the small-files problem on low-volume
+    tables (file pruning is driven by per-file min/max ts stats, not the
+    directory value, so readers are granularity-agnostic)."""
+    return F.date_format(
+        F.col(ts_col).cast("timestamp"), _DT_PATTERNS[granularity]
+    )
 
 
 # ------------------------------------------------------------------ write
@@ -70,6 +78,7 @@ def write_table(
     ts_col: str = "warc_ts",
     n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "overwrite",
+    dt_granularity: str = "day",
 ) -> int:
     """Write ``df`` into the layout at ``root``; returns the committed
     snapshot id.
@@ -83,11 +92,21 @@ def write_table(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     prev = current_snapshot(root) if mode == "append" else None
-    prev_files = {f["path"] for f in prev["files"]} if prev else set()
+    # diff against every file ANY snapshot knows (compaction leaves old
+    # files on disk for time travel — they must not re-register)
+    prev_files: set[str] = set()
+    if prev:
+        meta = os.path.join(root, META_DIR)
+        for name in os.listdir(meta):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(meta, name)) as f:
+                    prev_files.update(s["path"] for s in json.load(f)["files"])
 
+    if prev and prev.get("dt_granularity", "day") != dt_granularity:
+        raise ValueError("cannot change dt_granularity on append")
     data_path = os.path.join(root, DATA_DIR)
     staged = (
-        df.withColumn("dt", dt_expr(ts_col))
+        df.withColumn("dt", dt_expr(ts_col, dt_granularity))
         .withColumn("bucket", bucket_expr(key_col, n_buckets))
         .repartition("dt", "bucket")
         # partition cols lead the sort so each task emits one run per dir
@@ -112,6 +131,7 @@ def write_table(
         "key_col": key_col,
         "ts_col": ts_col,
         "n_buckets": n_buckets,
+        "dt_granularity": dt_granularity,
         "schema": df.schema.json(),
         "files": stats,
     }
@@ -231,6 +251,65 @@ def _commit_snapshot(root: str, snapshot: dict) -> None:
     with open(head_tmp, "w") as f:
         f.write(snap_name)
     os.replace(head_tmp, os.path.join(meta, "HEAD"))
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    *,
+    min_files: int = 2,
+) -> int:
+    """Iceberg-style small-file compaction: rewrite every (dt, bucket)
+    cell holding ≥ ``min_files`` files into one (key, ts)-sorted file,
+    then commit a new snapshot referencing the rewritten files. Old data
+    files stay on disk untouched — prior snapshots (time travel) keep
+    reading them; only the new snapshot sees the compacted layout.
+    Returns the new snapshot id."""
+    import pyarrow as paq  # noqa: F401  (import check)
+    import pyarrow.parquet as pq
+
+    snap = current_snapshot(root)
+    if snap is None:
+        raise FileNotFoundError(f"no table at {root}")
+    key_col, ts_col = snap["key_col"], snap["ts_col"]
+
+    by_cell: dict[tuple, list[dict]] = {}
+    for fstat in snap["files"]:
+        by_cell.setdefault((fstat["dt"], fstat["bucket"]), []).append(fstat)
+
+    new_files: list[dict] = []
+    rewritten = 0
+    for (dt, bucket), files in sorted(by_cell.items()):
+        if len(files) < min_files:
+            new_files.extend(files)
+            continue
+        paths = [os.path.join(root, f["path"]) for f in files]
+        import pyarrow as pa
+
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        order = pa.compute.sort_indices(
+            tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        tbl = tbl.take(order)
+        rel = os.path.join(
+            DATA_DIR, f"dt={dt}", f"bucket={bucket}",
+            f"compact-{snap['snapshot_id'] + 1:06d}.parquet",
+        )
+        out_path = os.path.join(root, rel)
+        pq.write_table(tbl, out_path)
+        new_files.append(_file_stats(out_path, rel, key_col, ts_col))
+        rewritten += len(files)
+
+    new_snap = {
+        **snap,
+        "snapshot_id": snap["snapshot_id"] + 1,
+        "parent": snap["snapshot_id"],
+        "committed_at": time.time(),
+        "operation": "compact",
+        "files": sorted(new_files, key=lambda s: s["path"]),
+    }
+    _commit_snapshot(root, new_snap)
+    return new_snap["snapshot_id"]
 
 
 # ------------------------------------------------------------------- read

@@ -121,6 +121,59 @@ def test_distributed_stats_match_local(spark, table_root):
     ] == [(l["path"], l["rows"], l["min_ts"], l["max_ts"]) for l in local]
 
 
+def test_month_granularity_fewer_files(spark, pages_df, tmp_path_factory):
+    """Coarser dt transform bounds file count on sparse tables; pruning
+    still works because it reads per-file ts stats, not dir names."""
+    base = tmp_path_factory.mktemp("gran")
+    day_root, month_root = str(base / "day"), str(base / "month")
+    layout.write_table(pages_df, day_root, n_buckets=B)
+    layout.write_table(pages_df, month_root, n_buckets=B, dt_granularity="month")
+    n_day = len(layout.current_snapshot(day_root)["files"])
+    n_month = len(layout.current_snapshot(month_root)["files"])
+    assert n_month < n_day / 4
+    # identical content + pruning still effective
+    assert (
+        layout.read_table(spark, month_root).count()
+        == layout.read_table(spark, day_root).count()
+    )
+    _, pruned = layout.plan_files(month_root, start="2023-12-01", end="2023-12-08")
+    assert 0 < len(pruned) < n_month
+
+
+def test_compaction(spark, pages_df, tmp_path_factory):
+    """Append-created small files compact into one per (dt,bucket);
+    content identical; prior snapshots still read the old files."""
+    root = str(tmp_path_factory.mktemp("compact") / "t")
+    half1 = pages_df.filter(F.col("lang") != "zz")
+    half2 = pages_df.filter(F.col("lang") == "zz")
+    layout.write_table(half1, root, n_buckets=B, dt_granularity="month")
+    layout.write_table(half2, root, n_buckets=B, mode="append", dt_granularity="month")
+    before = layout.current_snapshot(root)
+    n_before = layout.read_table(spark, root).count()
+
+    snap_id = layout.compact_table(spark, root)
+    after = layout.current_snapshot(root)
+    assert after["snapshot_id"] == snap_id and after["operation"] == "compact"
+    assert len(after["files"]) < len(before["files"])
+    # per-cell: at most one file now
+    cells = {}
+    for f in after["files"]:
+        cells.setdefault((f["dt"], f["bucket"]), []).append(f)
+    assert all(len(v) == 1 for v in cells.values())
+    # content identical; time travel to pre-compaction snapshot works
+    assert layout.read_table(spark, root).count() == n_before
+    a = layout.read_table(spark, root).select("url", "warc_ts", "lang")
+    b = layout.read_table(spark, root, snapshot=before["snapshot_id"]).select(
+        "url", "warc_ts", "lang"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # appends after compaction register only genuinely-new files
+    layout.write_table(
+        half2.limit(10), root, n_buckets=B, mode="append", dt_granularity="month"
+    )
+    assert layout.read_table(spark, root).count() == n_before + 10
+
+
 def test_empty_prune_returns_empty_with_schema(spark, table_root):
     df = layout.read_table(spark, table_root, start="2030-01-01", end="2031-01-01")
     assert df.count() == 0
