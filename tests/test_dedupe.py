@@ -1,0 +1,131 @@
+"""Dedup + similarity semantics (planted-duplicate recall / precision —
+the checks the rows-only driver queries can't make)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.dedupe import (
+    fingerprint_dedup_stats,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from feast_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, pages_tbl):
+    """~300 docs + 30 planted near-dups (last token dropped) + 5 exact."""
+    base = (
+        spark.createDataFrame(pages_tbl.to_pandas())
+        .select(F.monotonically_increasing_id().alias("doc_id"), "text")
+        .filter(F.length("text") > 100)
+        .limit(300)
+        .cache()
+    )
+    near = base.limit(30).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    exact = base.limit(5).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text"
+    )
+    return base.unionByName(near).unionByName(exact).cache()
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.8, num_hashes=64, bands=16, shingle_k=3
+    ).toPandas()
+    planted_near = {
+        (a, a + 100_000) for a in
+        [r["doc_id"] for r in docs.filter(F.col("doc_id") < 30).collect()]
+    }
+    found = {(min(a, b), max(a, b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # recall on planted near-dups (64 hashes / 16 bands at j>=0.8: high)
+    hit = sum(1 for p in planted_near if p in found)
+    assert hit >= int(0.9 * len(planted_near)), (hit, len(planted_near))
+    # every reported pair is exact-verified ≥ threshold
+    assert (pairs["jaccard"] >= 0.8).all()
+
+
+def test_minhash_no_unrelated_pairs(spark, docs):
+    """Distinct random docs must not exceed the verified threshold."""
+    pairs = minhash_near_dup_pairs(
+        docs, threshold=0.8, num_hashes=64, bands=16, shingle_k=3
+    ).toPandas()
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        assert (b - a) in (100_000, 200_000), (a, b)
+
+
+def test_ngram_jaccard_is_exact_superset_of_minhash(spark, docs):
+    """Exact inverted-index Jaccard finds everything MinHash-LSH finds
+    (LSH can only miss, never invent)."""
+    mh = minhash_near_dup_pairs(
+        docs, threshold=0.8, num_hashes=64, bands=16, shingle_k=3
+    ).select("id_a", "id_b")
+    ex = ngram_jaccard_pairs(docs, threshold=0.8, shingle_k=3).select(
+        "id_a", "id_b"
+    )
+    assert mh.exceptAll(ex).count() == 0
+    assert ex.count() >= mh.count()
+
+
+def test_simhash_finds_exact_and_near(spark, docs):
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
+    found = {(min(a, b), max(a, b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    exact_ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") < 5).collect()]
+    for a in exact_ids:  # exact copies: hamming 0 — must all be found
+        assert (a, a + 200_000) in found
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_fingerprint_clusters_exact_only(spark, docs):
+    stats = fingerprint_dedup_stats(docs).toPandas()
+    # 5 exact-dup clusters of size 2; near-dups must NOT cluster
+    assert (stats["n_copies"] == 2).sum() == 5
+    assert (stats["n_copies"] > 2).sum() == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((400, 16)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.limit(8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(corpus, queries, k=10).toPandas()
+    approx = lsh_topk(corpus, queries, dim=16, k=10, n_bits=4).toPandas()
+    e = exact.groupby("query_id")["vec_id"].apply(set)
+    a = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / 10 for q in e.index]
+    # 4-bit LSH on random data: modest recall floor, deterministic seed
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_embedding_near_dup_lsh_matches_exact_for_identicals(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    rows += [(i + 1000, v.tolist()) for i, v in enumerate(vecs[:40])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = embedding_near_dup_pairs(corpus, threshold=0.9999, exact=True).toPandas()
+    lsh = embedding_near_dup_pairs(
+        corpus, threshold=0.9999, dim=16, n_bits=6
+    ).toPandas()
+    # identical vectors always share every sign bucket → LSH == exact
+    assert set(zip(exact.id_a, exact.id_b)) == set(zip(lsh.id_a, lsh.id_b))
+    assert len(exact) == 40
