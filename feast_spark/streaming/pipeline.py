@@ -158,6 +158,61 @@ def stream_latest_to_online(
     return writer.trigger(availableNow=True).start()
 
 
+def stateful_crawl_stats(
+    df: DataFrame,
+    *,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator (T4 via
+    ``applyInPandasWithState``): per-key running crawl count + first/last
+    event time, updated each micro-batch, state kept in the Spark state
+    store. Emits one row per key per batch in which the key appeared.
+
+    Batch twin for the equivalence test: ``groupBy(key).agg(count,
+    min(ts), max(ts))`` — after a full replay the LAST emitted row per
+    key must equal the batch aggregate.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} string, n_crawls long, first_ts timestamp, last_ts timestamp"
+    )
+    state_schema = "n long, first_us long, last_us long"
+
+    def update(keytup, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, first_us, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+            n += len(pdf)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                key: [keytup[0]],
+                "n_crawls": [n],
+                "first_ts": [pd.to_datetime(first_us, unit="us")],
+                "last_ts": [pd.to_datetime(last_us, unit="us")],
+            }
+        )
+
+    s = with_watermark(df, ts_col, watermark)
+    return s.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, *, complete: bool = True):
     """Test helper: drain an availableNow stream into an in-memory table
     and block until done."""

@@ -86,6 +86,43 @@ def test_stream_dedupe(spark, stream_dir):
     q.stop()
 
 
+def test_stateful_crawl_stats_matches_batch(spark, stream_dir, pages_df):
+    """T4 custom stateful operator: after replaying the whole stream,
+    the last emitted row per url equals the batch aggregate."""
+    stream = sp.stream_pages(spark, stream_dir, max_files_per_trigger=2)
+    stats = sp.stateful_crawl_stats(stream, key="url")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("t4_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got = spark.table("t4_stats").toPandas()
+    # multiple batches may emit per url: the final (max n_crawls) wins
+    final = got.sort_values("n_crawls").groupby("url").last().reset_index()
+
+    want = (
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.min("warc_ts").alias("first_ts"),
+            F.max("warc_ts").alias("last_ts"),
+        )
+        .toPandas()
+    )
+    merged = final.merge(want, on="url", suffixes=("_g", "_w"))
+    assert len(merged) == len(want)
+    assert (merged["n_crawls_g"] == merged["n_crawls_w"]).all()
+    assert (merged["first_ts_g"] == merged["first_ts_w"]).all()
+    assert (merged["last_ts_g"] == merged["last_ts_w"]).all()
+    q.stop()
+
+
 def test_stream_latest_to_online_matches_batch(
     spark, stream_dir, pages_df, tmp_path_factory
 ):
