@@ -23,4 +23,10 @@ strategy is left to Catalyst/AQE wherever possible.
 
 __version__ = "0.1.0"
 
-from feast_spark.registry import Entity, FeatureSpec, FeatureView, FeatureStore  # noqa: F401
+from feast_spark.registry import (  # noqa: F401
+    Entity,
+    FeatureSpec,
+    FeatureStore,
+    FeatureView,
+    OnDemandFeatureView,
+)
