@@ -220,6 +220,30 @@ class MaterializeJob:
         }
 
 
+def last_materialized_end(dest: str) -> str | None:
+    """The latest ``end`` across lineage records — where the next
+    incremental run resumes (upstream: the registry's materialized-range
+    tracking in materialize_incremental)."""
+    records = layout.list_lineage(dest)
+    ends = [r["end"] for r in records if r.get("end")]
+    return max(ends) if ends else None
+
+
+def materialize_incremental(
+    spark: SparkSession, view, dest: str, end, *, start_default=None, **kw
+) -> dict:
+    """Upstream ``materialize_incremental``: resume from the last
+    materialized end (or ``start_default`` on first run) up to ``end``.
+    No-ops when the store is already caught up."""
+    start = last_materialized_end(dest) or start_default
+    if start is None:
+        raise ValueError("first incremental run needs start_default")
+    if str(start) >= str(end):
+        return {"batches_run": 0, "batches_skipped": 0, "rows": 0,
+                "wall_s": 0.0, "rows_per_sec": 0.0, "caught_up": True}
+    return MaterializeJob(spark, view, dest, **kw).run(start, end)
+
+
 def read_online(
     spark: SparkSession,
     dest: str,

@@ -24,6 +24,12 @@ from feast_spark.operators.asof import asof_join
 
 BROADCAST_PROBE_ROWS = 1_000_000
 
+# probe sets at/below this size additionally prune layout BUCKETS: the
+# distinct probe keys are collected (bounded) and only their
+# pmod(xxhash64(key), B) buckets are scanned — a point-lookup-shaped
+# retrieval reads ~|buckets|/B of the table instead of all of it
+BUCKET_PRUNE_PROBE_ROWS = 10_000
+
 
 def choose_strategy(probes: DataFrame, probe_count_hint: int | None = None) -> str:
     """DataFrame-level strategy policy. Uses a count hint when given (the
@@ -58,6 +64,7 @@ def plan_retrieval(
     out = entity_df
     chosen = strategy or choose_strategy(entity_df, probe_count_hint)
     probe_bounds = None
+    probe_keys: list | None = None
     for view_name, feats in by_view.items():
         fv = store.get_view(view_name)
         src_kw: dict = {}
@@ -81,9 +88,25 @@ def plan_retrieval(
                 import datetime as _dt
 
                 src_kw = {"start": lo, "end": hi + _dt.timedelta(seconds=1)}
-            from feast_spark.sources.pages import current_snapshot
+            from feast_spark.sources.pages import buckets_of_keys, current_snapshot
 
             n_buckets = current_snapshot(fv.layout_root)["n_buckets"]
+            # bucket pruning for small probe sets (point-lookup shape)
+            if probe_keys is None:
+                kcol = fv.entity.join_key
+                sample = (
+                    entity_df.select(kcol).distinct()
+                    .limit(BUCKET_PRUNE_PROBE_ROWS + 1).collect()
+                )
+                probe_keys = (
+                    [r[kcol] for r in sample]
+                    if len(sample) <= BUCKET_PRUNE_PROBE_ROWS
+                    else []  # too many: skip bucket pruning
+                )
+            if probe_keys:
+                src_kw["buckets"] = buckets_of_keys(
+                    store.spark, probe_keys, n_buckets
+                )
         src = fv.load(store.spark, **src_kw)
         declared = {s.name for s in fv.features}
         unknown = [f for f in feats if f not in declared]

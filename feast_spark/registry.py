@@ -64,7 +64,7 @@ class FeatureView:
         return None
 
     def load(
-        self, spark: SparkSession, *, start=None, end=None
+        self, spark: SparkSession, *, start=None, end=None, buckets=None
     ) -> DataFrame:
         """Resolve the source to a DataFrame, apply field mapping, and
         normalize the event-time column to TIMESTAMP (Spark 4 loads
@@ -78,7 +78,9 @@ class FeatureView:
         elif self.layout_root:
             from feast_spark.sources.pages import read_table
 
-            df = read_table(spark, self.layout_root, start=start, end=end)
+            df = read_table(
+                spark, self.layout_root, start=start, end=end, buckets=buckets
+            )
         else:
             df = spark.read.parquet(str(self.source))
         if self.field_mapping:

@@ -67,6 +67,70 @@ def test_probe_bounds_prune_the_scan(spark, lstore, probes_df):
     assert len(pruned) < len(snap["files"])
 
 
+def test_small_probe_set_prunes_buckets(spark, lstore, pages_df):
+    """Point-lookup-shaped retrieval: few probes ⇒ only their buckets'
+    files scanned; results identical to the full-probe plan."""
+    from pyspark.sql import Row
+
+    store, root = lstore
+    urls = [r["url"] for r in pages_df.select("url").distinct().limit(3).collect()]
+    probes = spark.createDataFrame(
+        [Row(url=u, ts="2024-02-01 00:00:00") for u in urls]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = store.get_historical_features(probes, ["pg:n_chars"], strategy="broadcast")
+    assert out.count() == 3
+    assert out.filter(F.col("n_chars").isNotNull()).count() >= 1
+    # the bucket set of 3 urls is a strict subset of all buckets (B=4 →
+    # almost surely < 4, but at minimum the scan planned fewer files
+    # than the table holds when buckets < 4)
+    wanted = layout.buckets_of_keys(spark, urls, 4)
+    _, files = layout.plan_files(root, buckets=wanted)
+    _, all_files = layout.plan_files(root)
+    if len(wanted) < 4:
+        assert len(files) < len(all_files)
+
+
+def test_materialize_incremental_api(spark, lstore, tmp_path_factory):
+    from feast_spark.materialize import (
+        last_materialized_end,
+        materialize_incremental,
+        read_online,
+    )
+
+    store, _root = lstore
+    view = store.get_view("pg")
+    dest = str(tmp_path_factory.mktemp("incr") / "store")
+
+    def transform(df):
+        return df.select("url", "warc_ts", "n_chars")
+
+    s1 = materialize_incremental(
+        spark, view, dest, "2023-12-15",
+        start_default="2023-11-01", bucket_batch=4, transform=transform,
+    )
+    assert s1["rows"] > 0
+    assert last_materialized_end(dest) == "2023-12-15"
+    s2 = materialize_incremental(
+        spark, view, dest, "2024-03-01", bucket_batch=4, transform=transform,
+    )
+    assert s2["rows"] > 0
+    # caught up → no-op
+    s3 = materialize_incremental(
+        spark, view, dest, "2024-03-01", bucket_batch=4, transform=transform,
+    )
+    assert s3.get("caught_up") is True and s3["rows"] == 0
+    # equals a single full run
+    from feast_spark.materialize import MaterializeJob
+
+    d_full = str(tmp_path_factory.mktemp("incr") / "full")
+    MaterializeJob(
+        spark, view, d_full, bucket_batch=4, transform=transform
+    ).run("2023-11-01", "2024-03-01")
+    a = read_online(spark, dest).select("url", "warc_ts")
+    b = read_online(spark, d_full).select("url", "warc_ts")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_multi_view_full_feature_names(spark, lstore, probes_df, data_dir):
     import os
 
