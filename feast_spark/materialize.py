@@ -48,6 +48,7 @@ class MaterializeJob:
         bucket_batch: int = 8,
         transform: Callable[[DataFrame], DataFrame] | None = None,
         fail_after_batches: int | None = None,
+        lineage_tag: str | None = None,
     ) -> None:
         self.spark = spark
         self.view = view
@@ -55,6 +56,10 @@ class MaterializeJob:
         self.bucket_batch = bucket_batch
         self.transform = transform
         self.fail_after_batches = fail_after_batches  # test hook (resume)
+        # disambiguates lineage records from distinct logical runs that
+        # may share (input_snapshot, start, end) — e.g. streaming
+        # micro-batches whose event-time bounds collide
+        self.lineage_tag = lineage_tag
 
         src = view.source
         self._layout_root = (
@@ -190,6 +195,8 @@ class MaterializeJob:
         t0 = time.monotonic()
         for i, buckets in enumerate(batches):
             pid = f"b{buckets[0]:04d}-{buckets[-1]:04d}"
+            if self.lineage_tag:
+                pid = f"{self.lineage_tag}-{pid}"
             prior = layout.read_lineage(self.dest, pid)
             if (
                 prior

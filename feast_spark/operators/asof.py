@@ -215,6 +215,10 @@ def _asof_broadcast(
         created.desc_nulls_last(),
         _tiebreak_hash(f, [f"f.{c}" for c in feature_cols]).desc_nulls_last(),
     )
+    # internal alias when the caller doesn't want the matched event ts:
+    # dropping by the public name would also delete a probe column that
+    # happens to share it (probes keep ALL their columns in the output)
+    ets_alias = event_ts_name if include_event_ts else "__asof_ets_tmp"
     best = (
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -222,12 +226,12 @@ def _asof_broadcast(
             F.col(f"p.{by}").alias(by),
             F.col(f"p.{left_on}").alias(left_on),
             *[F.col(f"f.{c}").alias(c) for c in feature_cols],
-            F.col(f"f.{right_on}").alias(event_ts_name),
+            F.col(f"f.{right_on}").alias(ets_alias),
         )
     )
     out = probes.join(F.broadcast(best), on=[by, left_on], how="left")
     if not include_event_ts:
-        out = out.drop(event_ts_name)
+        out = out.drop("__asof_ets_tmp")
     return out
 
 
@@ -293,15 +297,25 @@ def _asof_cogroup(
         left = left.drop(columns="__b")
         right = right.drop(columns="__b")
         out_cols = probe_cols + feature_cols + ([ets_out] if ets_out else [])
-        if len(left) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
-        if len(right) == 0:
-            res = left.copy()
+
+        def _nullfeat(rows: pd.DataFrame) -> pd.DataFrame:
+            res = rows.copy()
             for c in feature_cols:
                 res[c] = None
             if ets_out:
                 res[ets_out] = pd.NaT
             return res[out_cols]
+
+        if len(left) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+        # NULL probe ts rows: merge_asof rejects unsorted NaT keys; J1/J2
+        # give them NULL features — match that (strategy equivalence)
+        null_ts = left[left[left_on].isna()]
+        left = left[left[left_on].notna()]
+        if len(right) == 0 or len(left) == 0:
+            return pd.concat(
+                [_nullfeat(left), _nullfeat(null_ts)], ignore_index=True
+            )
         sort_rhs = [right_on] + ([created_col] if created_col else [])
         # na_position="first" matches J1's asc_nulls_first: a NULL
         # created_ts loses ties against any non-NULL one
@@ -324,7 +338,10 @@ def _asof_cogroup(
             merged[c] = merged[c].astype("Int64")
         if ets_out:
             merged[ets_out] = merged["__rts"]
-        return merged[out_cols]
+        merged = merged[out_cols]
+        if len(null_ts):
+            merged = pd.concat([merged, _nullfeat(null_ts)], ignore_index=True)
+        return merged
 
     return (
         pb.groupBy("__b")
@@ -347,7 +364,15 @@ def salted_join(
     xxhash64 of its other columns; the small side is exploded ``salt``
     ways so every (key, salt) pair finds its match. AQE skew-join is the
     runtime backstop; this is the explicit control for when stats are
-    known up front."""
+    known up front.
+
+    Only inner/left (big-side-preserving) joins: outer semantics on the
+    exploded small side would emit ``salt`` null-padded copies of every
+    unmatched small-side key."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}"
+        )
     other = [c for c in big.columns if c != on] or [on]
     bigs = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in other]), F.lit(salt))

@@ -48,9 +48,13 @@ def extract_text_col(
     return df.mapInPandas(batches, schema=out_schema)
 
 
-_STOP_SET = frozenset(
-    "the of and to in a is that it for on with as are was be this at by an".split()
-)
+# single source of truth for both kernels: the fused pandas path
+# (_STOP_SET lookups) and the JVM expression path (STOPWORDS literal
+# array) are cross-checked result-identical in tests/test_extract.py
+STOPWORDS = (
+    "the of and to in a is that it for on with as are was be this at by an"
+).split()
+_STOP_SET = frozenset(STOPWORDS)
 
 
 def extract_features_col(
@@ -124,10 +128,6 @@ def extract_features_col(
 
 # ------------------------------------------------------------ V2 --------
 # JVM-side text features (no Python at all — preferred)
-
-STOPWORDS = (
-    "the of and to in a is that it for on with as are was be this at by an"
-).split()
 
 
 def n_chars(col: str | Column = "text") -> Column:

@@ -155,10 +155,14 @@ def salted_rolling_count(
     *,
     key: str = "url",
     order: str = "warc_ts",
-    hot_keys: DataFrame | list[str] | None = None,
-    hot_threshold: int = 100_000,
 ) -> DataFrame:
     """Skew-safe per-key cumulative event count (SURVEY.md §4.2.2).
+
+    Applies the two-phase plan to EVERY key (results identical to the
+    naive window either way). For selective routing — two-phase for hot
+    keys only, plain window for the cold tail — compose with
+    ``operators.skew.detect_hot_keys`` / ``plan_salting`` at the call
+    site; the split stays visible in the job instead of hidden here.
 
     AQE splits skewed JOIN partitions but not skewed WINDOW partitions: a
     url with 10^8 events lands on one task. Two-phase plan for the

@@ -31,16 +31,23 @@ BROADCAST_PROBE_ROWS = 1_000_000
 BUCKET_PRUNE_PROBE_ROWS = 10_000
 
 
-def choose_strategy(probes: DataFrame, probe_count_hint: int | None = None) -> str:
-    """DataFrame-level strategy policy. Uses a count hint when given (the
-    registry/manifest provides one for layout-backed probe tables) and
-    falls back to a cheap count at plan time — acceptable: planning runs
-    once per retrieval, and the count pushes down to parquet row-group
-    metadata when probes are a plain scan."""
+def choose_strategy(
+    probes: DataFrame,
+    probe_count_hint: int | None = None,
+    *,
+    layout_backed: bool = False,
+) -> str:
+    """DataFrame-level strategy policy (§4.2.1): small probe set →
+    broadcast; large probes over a layout-backed view → cogroup (the
+    bucket-aligned sort-merge — repartitions on the SAME xxhash64 bucket
+    transform the table was written with); else union+window. Uses a
+    count hint when given and falls back to a cheap count at plan time —
+    acceptable: planning runs once per retrieval, and the count pushes
+    down to parquet row-group metadata when probes are a plain scan."""
     n = probe_count_hint if probe_count_hint is not None else probes.count()
     if n <= BROADCAST_PROBE_ROWS:
         return "broadcast"
-    return "union"
+    return "cogroup" if layout_backed else "union"
 
 
 def plan_retrieval(
@@ -62,11 +69,18 @@ def plan_retrieval(
         by_view.setdefault(view, []).append(feat)
 
     out = entity_df
-    chosen = strategy or choose_strategy(entity_df, probe_count_hint)
+    probe_n = (
+        probe_count_hint if probe_count_hint is not None else entity_df.count()
+    ) if strategy is None else None
     probe_bounds = None
-    probe_keys: list | None = None
+    # probe keys are join-key-specific: views may join on different
+    # entity columns, so cache per column name
+    probe_keys_by_col: dict[str, list] = {}
     for view_name, feats in by_view.items():
         fv = store.get_view(view_name)
+        chosen = strategy or choose_strategy(
+            entity_df, probe_n, layout_backed=fv.layout_root is not None
+        )
         src_kw: dict = {}
         n_buckets = None
         if fv.layout_root:
@@ -92,20 +106,20 @@ def plan_retrieval(
 
             n_buckets = current_snapshot(fv.layout_root)["n_buckets"]
             # bucket pruning for small probe sets (point-lookup shape)
-            if probe_keys is None:
-                kcol = fv.entity.join_key
+            kcol = fv.entity.join_key
+            if kcol not in probe_keys_by_col:
                 sample = (
                     entity_df.select(kcol).distinct()
                     .limit(BUCKET_PRUNE_PROBE_ROWS + 1).collect()
                 )
-                probe_keys = (
+                probe_keys_by_col[kcol] = (
                     [r[kcol] for r in sample]
                     if len(sample) <= BUCKET_PRUNE_PROBE_ROWS
                     else []  # too many: skip bucket pruning
                 )
-            if probe_keys:
+            if probe_keys_by_col[kcol]:
                 src_kw["buckets"] = buckets_of_keys(
-                    store.spark, probe_keys, n_buckets
+                    store.spark, probe_keys_by_col[kcol], n_buckets
                 )
         src = fv.load(store.spark, **src_kw)
         declared = {s.name for s in fv.features}

@@ -230,15 +230,27 @@ class FeatureStore:
         for ref in odfv_refs:
             for src in self._odfvs[ref.split(":")[0]].sources:
                 needed.setdefault(src, None)
+        # ODFV transforms read their source features by BARE name, so
+        # full-name prefixing must happen AFTER the transforms run
         out = plan_retrieval(
             self, entity_df, list(needed),
-            full_feature_names=full_feature_names, strategy=strategy,
+            full_feature_names=full_feature_names and not odfv_refs,
+            strategy=strategy,
         )
         for name in dict.fromkeys(r.split(":")[0] for r in odfv_refs):
             from feast_spark.operators.vectorized import on_demand_transform
 
             odfv = self._odfvs[name]
             out = on_demand_transform(out, odfv.transform, odfv.schema)
+        if full_feature_names and odfv_refs:
+            renames = {}
+            for ref in needed:
+                view, _, feat = ref.partition(":")
+                renames[feat] = f"{view}__{feat}"
+            for name in dict.fromkeys(r.split(":")[0] for r in odfv_refs):
+                for col, _dt in self._odfvs[name].schema:
+                    renames[col] = f"{name}__{col}"
+            out = out.withColumnsRenamed(renames)
         return out
 
     def get_online_features(

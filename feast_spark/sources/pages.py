@@ -140,12 +140,21 @@ def write_table(
 
 
 def _list_data_files(root: str) -> list[str]:
-    """Relative paths of all parquet data files under root/data."""
+    """Relative paths of all parquet data files under root/data.
+    Skips hidden/temporary entries (Spark ``_temporary``, ``.crc``) and
+    ``compact-*`` files — compaction outputs are only ever referenced
+    via the snapshot that committed them, so a crash between compaction
+    write and commit leaves orphans that must NOT be swept into a later
+    append's snapshot (they would duplicate the uncompacted rows)."""
     data_path = os.path.join(root, DATA_DIR)
     out = []
-    for dirpath, _dirs, files in os.walk(data_path):
+    for dirpath, dirs, files in os.walk(data_path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
-            if f.endswith(".parquet"):
+            if (
+                f.endswith(".parquet")
+                and not f.startswith((".", "_", "compact-"))
+            ):
                 out.append(os.path.relpath(os.path.join(dirpath, f), root))
     return sorted(out)
 

@@ -140,6 +140,10 @@ def stream_latest_to_online(
         job = MaterializeJob(
             batch_df.sparkSession, view, dest,
             n_buckets=n_buckets, bucket_batch=n_buckets, transform=transform,
+            # distinct micro-batches may share event-time bounds; the
+            # batch id keeps their lineage records from colliding (which
+            # would skip a batch as "already materialized" and drop rows)
+            lineage_tag=f"stream{batch_id:08d}",
         )
         # the batch covers its own full time range
         bounds = batch_df.agg(
