@@ -13,7 +13,6 @@ import sys
 from datetime import timedelta
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def main() -> None:

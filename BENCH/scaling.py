@@ -4,14 +4,18 @@
 North rule: "run at two cluster sizes (N and 4N executors) with
 throughput scaling efficiency ≥0.8". No real cluster exists in this
 sandbox, so the sanctioned proxy (task instructions) is two parallelism
-levels on the same input: local[8] vs local[32] on the 32-core box. Each
-level runs in its OWN subprocess/JVM (a Spark local master cannot be
-resized in place), with shuffle partitions pinned to 4×cores in both.
+levels on the same input, each level in its OWN subprocess/JVM (a Spark
+local master cannot be resized in place). The measured pair is
+LEVELS = (2, 8) — i.e. local[2] (N) vs local[8] (4N) — because a
+Spark-free multiprocessing control (mp_control below, reported in
+BASELINE.md) shows this box's parallel throughput saturates beyond
+~8-16 busy cores; local[32] is additionally measured as the saturation
+point, not as the efficiency pair.
 
-efficiency = (T_8 / T_32) / 4   (1.0 = perfect linear scaling)
+efficiency = (T_N / T_4N) / 4   (1.0 = perfect linear scaling)
 
 Writes BENCH/BASELINE.md. Usage:
-    python BENCH/scaling.py [n_urls]    # default sized for ≥60 s at local[32]
+    python BENCH/scaling.py [n_urls]
 """
 from __future__ import annotations
 
@@ -64,8 +68,13 @@ def run_level(cores: int) -> dict:
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError(f"worker at {cores} cores failed")
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-2000:])
+        raise RuntimeError(
+            f"worker at {cores} cores exited 0 but printed no JSON line"
+        )
+    return json.loads(lines[-1])
 
 
 def _mp_work(chunk) -> int:
@@ -87,8 +96,10 @@ def mp_control(n_docs: int = 100_000) -> dict:
 
     import pyarrow.parquet as pq
 
+    # slice in Arrow BEFORE materializing Python objects: to_pylist() on
+    # the full 2M-row html column would build tens of GB of bytes objects
     t = pq.read_table(PAGES, columns=["html"])
-    htmls = t.column("html").to_pylist()[:n_docs]
+    htmls = t.slice(0, n_docs).column("html").to_pylist()
     work = _mp_work
 
     out = {}

@@ -121,8 +121,6 @@ def q_pit_no_ttl(spark, sf_dir):
 
 
 def q_lag_lead(spark, sf_dir):
-    from feast_spark.operators.windows import key_window
-
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -366,7 +364,9 @@ def q_array_ops(spark, sf_dir):
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
-        F.round(head_sum, 4).alias("head4_sum"),
+        # + 0.0 normalizes signed zero on both sides (DuckDB round()
+        # preserves -0.0, Spark's doesn't — bit-level hash mismatch)
+        (F.round(head_sum, 4) + F.lit(0.0)).alias("head4_sum"),
         "label",
     )
 
@@ -1033,7 +1033,7 @@ def oracle_sql() -> dict[str, str]:
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
                      AS l2_norm,
                    round(list_sum(list_transform(embedding[1:4],
-                     x -> CAST(x AS DOUBLE))), 4) AS head4_sum,
+                     x -> CAST(x AS DOUBLE))), 4) + 0.0 AS head4_sum,
                    label
             FROM embeddings
         """,
@@ -1126,15 +1126,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "daily_order_stats": """
-            SELECT date_trunc('day', o_orderdate) AS day,
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
                    count(*) AS n,
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
                      AS revenue
             FROM orders GROUP BY 1
         """,
         "tumbling_day_counts": """
-            SELECT date_trunc('day', ts) AS w_start,
-                   date_trunc('day', ts) + INTERVAL 1 DAY AS w_end,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP)
+                     + INTERVAL 1 DAY AS w_end,
                    event_type, count(*) AS n
             FROM events GROUP BY 1, 2, 3
         """,

@@ -58,6 +58,11 @@ HEADLINE = [
 PAGES_URLS = {"sf0.001": 500, "sf0.01": 2_000, "sf0.1": 20_000}
 
 
+# one-time datagen/layout cache builds (first run only) — reported
+# separately so "startup_sec" stays session startup, not datagen
+_cache_build_sec = 0.0
+
+
 def _force(df) -> int:
     """Execute fully without materializing on the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -84,9 +89,12 @@ def bench_pages_pipeline(spark, sf_name: str) -> tuple[float, float, int]:
     n_urls = PAGES_URLS.get(sf_name, 2_000)
     path = _pages_path(sf_name, n_urls)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t0 = time.monotonic()
         generate_pages_distributed(
             spark, n_urls=n_urls, n_domains=max(50, n_urls // 20)
         ).write.mode("overwrite").parquet(path)
+        global _cache_build_sec
+        _cache_build_sec += time.monotonic() - t0
 
     pages = spark.read.parquet(path).withColumn(
         "warc_ts", F.col("warc_ts").cast("timestamp")
@@ -156,8 +164,11 @@ def bench_materialize_job(spark, sf_name: str) -> tuple[float, float, int]:
     pages_path = _pages_path(sf_name, n_urls)
     table = pages_path + "_layout"
     if not layout.is_table(table):
+        t0 = time.monotonic()
         df = spark.read.parquet(pages_path)
         layout.write_table(df, table, n_buckets=8, dt_granularity="month")
+        global _cache_build_sec
+        _cache_build_sec += time.monotonic() - t0
 
     view = FeatureView(
         name="pages",
@@ -197,9 +208,12 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # JVM warm-up: one tiny action so the first timed query doesn't pay
-    # session/codegen start-up
+    # warm-up: a JVM action AND a Python/Arrow round-trip so the first
+    # timed pandas-UDF query doesn't pay worker fork + Arrow init
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(256).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     for name in HEADLINE:
         fn = qs[name]
@@ -224,7 +238,10 @@ def main() -> None:
         "materialized_rows_per_sec": round(mat_rows_per_sec, 1),
         "materialized_rows": mat_rows,
         "cpus": CPUS,
-        "startup_sec": round(time.monotonic() - t_import - total, 3),
+        "cache_build_sec": round(_cache_build_sec, 3),
+        "startup_sec": round(
+            time.monotonic() - t_import - total - _cache_build_sec, 3
+        ),
     }
     print(json.dumps(out))
     spark.stop()
