@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame
 
 from feast_spark.operators.asof import asof_join
 
-BROADCAST_PROBE_ROWS = 1_000_000
+# measured knee on the 2.1M-row pages table (local[32], BASELINE.md):
+# broadcast ~3s up to 100k probes but 45s at 600k (the range-join output
+# approaches the full feature table and the per-probe row_number window
+# dominates); union stays ~3-5s throughout, cogroup 3.6s. Broadcast also
+# costs driver/executor memory proportional to the probe set.
+BROADCAST_PROBE_ROWS = 100_000
 
 # probe sets at/below this size additionally prune layout BUCKETS: the
 # distinct probe keys are collected (bounded) and only their
