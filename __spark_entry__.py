@@ -708,6 +708,21 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Decode→resize plumbing (rows-only: numpy fake decoder)."""
+    from feast_spark.operators.multimodal import resize_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = resize_features(d, target=(2, 2))
+    return out.select(
+        "doc_id",
+        F.round(F.element_at("px_resized", 1), 4).alias("px00"),
+        F.size("px_resized").alias("n_px"),
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     from feast_spark.operators.multimodal import frame_sample
 
@@ -832,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
         "salted_group_agg": q_salted_group_agg,
         "znorm_per_user": q_znorm_per_user,

@@ -140,6 +140,56 @@ def decode_features(
     return df.mapInPandas(kernel, schema=schema)
 
 
+def resize_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    target: tuple[int, int] = (4, 4),
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    strict: bool = False,
+    out_col: str = "px_resized",
+) -> DataFrame:
+    """Decode → resize plumbing: block-mean downsample of the decoded
+    array to ``target`` (the real implementation swaps in PIL/odd-size
+    interpolation — not available in this container; the fake decoder
+    keeps schema/batching real). Output is the resized pixel grid
+    flattened row-major as ``array<float>`` of len target[0]*target[1]."""
+    if strict and decoder is None:
+        raise NotImplementedError(
+            "no media codec available in this environment; pass decoder="
+        )
+    dec = decoder or _fake_decode
+    th, tw = target
+    fields = list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.FloatType()))
+    ]
+    schema = T.StructType(fields)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    out.append(None)
+                    continue
+                arr = dec(bytes(p)).astype(np.float64)
+                h, w = arr.shape
+                # block-mean pooling (exact when divisible; trailing
+                # remainder rows/cols fold into the last block)
+                ys = np.linspace(0, h, th + 1, dtype=int)
+                xs = np.linspace(0, w, tw + 1, dtype=int)
+                small = [
+                    float(arr[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean())
+                    for i in range(th)
+                    for j in range(tw)
+                ]
+                out.append(small)
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
