@@ -429,9 +429,10 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", lang_id("text").alias("lang_pred"))
 
 
-def q_pit_created_tiebreak(spark, sf_dir):
+def _pit_created_tiebreak(spark, sf_dir, strategy):
     """A1/J1 tie-break: duplicate event_ts rows must resolve by max
-    created_ts (upstream created_timestamp_column semantics)."""
+    created_ts (upstream created_timestamp_column semantics) — pinned
+    for every strategy against the same oracle."""
     from feast_spark.operators.asof import asof_join
 
     probes, _ = _events_pit_inputs(spark, sf_dir)
@@ -449,9 +450,67 @@ def q_pit_created_tiebreak(spark, sf_dir):
     out = asof_join(
         probes, feats, by="user_id", left_on="ts", right_on="ets",
         ttl=timedelta(seconds=PIT_TTL_S), created_col="created",
-        strategy="union", include_event_ts=True, event_ts_name="event_ts",
+        strategy=strategy, include_event_ts=True, event_ts_name="event_ts",
     )
     return out.select("user_id", "ts", F.round("value", 6).alias("value"), "event_ts")
+
+
+def q_pit_created_tiebreak(spark, sf_dir):
+    return _pit_created_tiebreak(spark, sf_dir, "union")
+
+
+def q_pit_created_tiebreak_broadcast(spark, sf_dir):
+    return _pit_created_tiebreak(spark, sf_dir, "broadcast")
+
+
+def q_pit_created_tiebreak_cogroup(spark, sf_dir):
+    return _pit_created_tiebreak(spark, sf_dir, "cogroup")
+
+
+def q_order_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape: filtered join + agg + global top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_supplier_part_volume(spark, sf_dir):
+    """Multi-dim join with window share-of-total per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name", "p_brand")
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("volume"))
+    )
+    w = Window.partitionBy("s_name")
+    return j.select(
+        "s_name",
+        "p_brand",
+        "volume",
+        F.round(
+            (F.col("volume") * 100.0) / F.sum("volume").over(w), 6
+        ).alias("brand_share_pct"),
+    )
 
 
 def q_rollup_orders(spark, sf_dir):
@@ -827,6 +886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "lang_id": q_lang_id,
         "pit_created_tiebreak": q_pit_created_tiebreak,
+        "pit_created_tiebreak_broadcast": q_pit_created_tiebreak_broadcast,
+        "pit_created_tiebreak_cogroup": q_pit_created_tiebreak_cogroup,
+        "order_ship_priority": q_order_ship_priority,
+        "supplier_part_volume": q_supplier_part_volume,
         "rollup_orders": q_rollup_orders,
         "ntile_quartiles": q_ntile_quartiles,
         "collect_last_k": q_collect_last_k,
@@ -857,6 +920,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    pit = _PIT_ORACLE
+    out = _oracles()
+    # strategy variants share one oracle (semantics must be identical)
+    out["pit_created_tiebreak_broadcast"] = out["pit_created_tiebreak"]
+    out["pit_created_tiebreak_cogroup"] = out["pit_created_tiebreak"]
+    return out
+
+
+def _oracles() -> dict[str, str]:
     pit = _PIT_ORACLE
     return {
         "pit_asof_union": pit,
@@ -1104,6 +1176,37 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p
             LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
               ON p.user_id = r.user_id AND p.ts = r.ts
+        """,
+        "order_ship_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "supplier_part_volume": """
+            WITH j AS (
+              SELECT s_name, p_brand,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 AS volume
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              GROUP BY s_name, p_brand
+            )
+            SELECT s_name, p_brand, volume,
+                   round(volume * 100.0
+                         / sum(volume) OVER (PARTITION BY s_name), 6)
+                     AS brand_share_pct
+            FROM j
         """,
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
