@@ -69,6 +69,28 @@ def test_tumbling_counts_equal_batch(spark, stream_dir, pages_df):
     q.stop()
 
 
+def test_sliding_counts_equal_batch(spark, stream_dir, pages_df):
+    """T2 sliding variant: 2-day window sliding 1 day."""
+    stream = sp.stream_pages(spark, stream_dir)
+    agg = sp.tumbling_counts(stream, key="lang", window="2 days", slide="1 day")
+    q = sp.run_to_memory(agg, "t2_sliding")
+    got = spark.table("t2_sliding")
+    want = (
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .groupBy(F.window("warc_ts", "2 days", "1 day").alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "lang",
+            "n",
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    q.stop()
+
+
 def test_stream_dedupe(spark, stream_dir):
     stream = sp.stream_pages(spark, stream_dir)
     dd = sp.stream_dedupe(stream, keys=("url", "warc_ts"))
