@@ -181,6 +181,25 @@ def q_sessionize(spark, sf_dir):
     ).select("user_id", "sess_id", "sess_start", "sess_end", "n_events")
 
 
+def q_session_window_native(spark, sf_dir):
+    """Spark's native session_window in BATCH mode must equal the
+    lag/cumsum sessionization (W6) — the same invariant the streaming
+    tests pin, here enforced by the DuckDB oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            "n_events",
+        )
+    )
+
+
 def q_latest_per_key(spark, sf_dir):
     from feast_spark.operators.windows import latest_per_key
 
@@ -864,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "rolling_7d": q_rolling_7d,
         "sessionize": q_sessionize,
+        "session_window_native": q_session_window_native,
         "latest_per_key": q_latest_per_key,
         "backfill_fill": q_backfill_fill,
         "pricing_summary": q_pricing_summary,
@@ -994,6 +1014,28 @@ def _oracles() -> dict[str, str]:
             )
             SELECT user_id, sess_id, min(ts) AS sess_start,
                    max(ts) AS sess_end, count(*) AS n_events
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "session_window_native": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts)/1000000.0
+                               - lag(epoch_us(ts)/1000000.0)
+                                 OVER (PARTITION BY user_id ORDER BY ts)
+                               >= 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_id
+              FROM g
+            )
+            SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
         """,
         "latest_per_key": """
