@@ -321,6 +321,54 @@ def compact_table(
     return new_snap["snapshot_id"]
 
 
+def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
+    """Iceberg ``expire_snapshots``: drop all but the newest
+    ``keep_last`` snapshots and delete data files no surviving snapshot
+    references (compaction leftovers, overwritten appends). Time travel
+    to expired snapshots stops working — that is the point (bounded
+    storage). Returns {snapshots_removed, files_removed, bytes_freed}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    head = current_snapshot(root)
+    if head is None:
+        raise FileNotFoundError(f"no table at {root}")
+    meta = os.path.join(root, META_DIR)
+    snaps = sorted(
+        n for n in os.listdir(meta)
+        if n.startswith("snap-") and n.endswith(".json")
+    )
+    survivors = snaps[-keep_last:]
+    if f"snap-{head['snapshot_id']:06d}.json" not in survivors:
+        raise RuntimeError("HEAD snapshot would be expired")  # never
+    expired = [n for n in snaps if n not in survivors]
+
+    keep_files: set[str] = set()
+    for name in survivors:
+        keep_files.update(f["path"] for f in load_snapshot(root, name)["files"])
+    drop_files: set[str] = set()
+    for name in expired:
+        drop_files.update(
+            f["path"] for f in load_snapshot(root, name)["files"]
+        )
+    drop_files -= keep_files
+
+    freed = 0
+    removed = 0
+    for rel in sorted(drop_files):
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            freed += os.path.getsize(p)
+            os.remove(p)
+            removed += 1
+    for name in expired:
+        os.remove(os.path.join(meta, name))
+    return {
+        "snapshots_removed": len(expired),
+        "files_removed": removed,
+        "bytes_freed": freed,
+    }
+
+
 # ------------------------------------------------------------------- read
 
 

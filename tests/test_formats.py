@@ -70,6 +70,15 @@ def test_csv_source_through_retrieval(spark, multi_format_dir, probes_df):
     assert out.filter(F.col("n_chars").isNotNull()).count() > 0
 
 
+def test_orc_roundtrip(spark, multi_format_dir, tmp_path_factory):
+    _d, slim = multi_format_dir
+    p = str(tmp_path_factory.mktemp("orc") / "pages_orc")
+    slim.write.mode("overwrite").orc(p)
+    got = read_source(spark, p, "orc")
+    assert got.exceptAll(slim).count() == 0
+    assert slim.exceptAll(got).count() == 0
+
+
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="not in"):
         read_source(spark, "/tmp/x", "avro")

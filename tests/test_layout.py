@@ -174,6 +174,41 @@ def test_compaction(spark, pages_df, tmp_path_factory):
     assert layout.read_table(spark, root).count() == n_before + 10
 
 
+def test_expire_snapshots(spark, pages_df, tmp_path_factory):
+    """Expiry drops old snapshots AND the data files only they
+    reference; the surviving snapshot still reads complete data."""
+    root = str(tmp_path_factory.mktemp("expire") / "t")
+    half1 = pages_df.filter(F.col("lang") != "zz")
+    half2 = pages_df.filter(F.col("lang") == "zz")
+    layout.write_table(half1, root, n_buckets=B, dt_granularity="month")
+    layout.write_table(half2, root, n_buckets=B, mode="append", dt_granularity="month")
+    layout.compact_table(spark, root)
+    n = layout.read_table(spark, root).count()
+    import os
+
+    def count_parquet():
+        total = 0
+        for dp, _dn, fn in os.walk(os.path.join(root, "data")):
+            total += sum(1 for f in fn if f.endswith(".parquet"))
+        return total
+
+    files_before = count_parquet()
+    res = layout.expire_snapshots(root, keep_last=1)
+    assert res["snapshots_removed"] == 2
+    # pre-compaction small files are gone from disk
+    assert count_parquet() == files_before - res["files_removed"]
+    assert res["files_removed"] > 0 and res["bytes_freed"] > 0
+    # current snapshot reads everything; time travel to expired id fails
+    assert layout.read_table(spark, root).count() == n
+    with pytest.raises(FileNotFoundError):
+        layout.read_table(spark, root, snapshot=1)
+    # further appends still work
+    layout.write_table(
+        half2.limit(7), root, n_buckets=B, mode="append", dt_granularity="month"
+    )
+    assert layout.read_table(spark, root).count() == n + 7
+
+
 def test_empty_prune_returns_empty_with_schema(spark, table_root):
     df = layout.read_table(spark, table_root, start="2030-01-01", end="2031-01-01")
     assert df.count() == 0
