@@ -122,6 +122,26 @@ def write_table(
     if prev:
         stats = prev["files"] + stats
 
+    # schema evolution (append): union of previous and incoming fields —
+    # Iceberg's add-column; readers null-fill the column in files written
+    # before it existed (spark.read.schema() semantics). Type changes on
+    # an existing column are rejected (no implicit promotion).
+    schema_json = df.schema.json()
+    if prev:
+        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        merged = list(prev_schema.fields)
+        have = {f.name: f for f in merged}
+        for f in df.schema.fields:
+            if f.name not in have:
+                merged.append(f)
+            elif have[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"append changes type of {f.name!r}: "
+                    f"{have[f.name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}"
+                )
+        schema_json = T.StructType(merged).json()
+
     snap_id = (prev["snapshot_id"] + 1) if prev else 1
     snapshot = {
         "snapshot_id": snap_id,
@@ -132,7 +152,7 @@ def write_table(
         "ts_col": ts_col,
         "n_buckets": n_buckets,
         "dt_granularity": dt_granularity,
-        "schema": df.schema.json(),
+        "schema": schema_json,
         "files": stats,
     }
     _commit_snapshot(root, snapshot)

@@ -174,6 +174,32 @@ def test_compaction(spark, pages_df, tmp_path_factory):
     assert layout.read_table(spark, root).count() == n_before + 10
 
 
+def test_schema_evolution_add_column(spark, pages_df, tmp_path_factory):
+    """Appending with a new column evolves the table schema; old files
+    read the column as NULL; type changes are rejected."""
+    root = str(tmp_path_factory.mktemp("evolve") / "t")
+    base = pages_df.select("url", "warc_ts", "lang")
+    layout.write_table(base.limit(100), root, n_buckets=B, dt_granularity="month")
+    with_score = (
+        base.orderBy(F.desc("url")).limit(50)
+        .withColumn("score", F.length("lang").cast("double"))
+    )
+    layout.write_table(
+        with_score, root, n_buckets=B, mode="append", dt_granularity="month"
+    )
+    df = layout.read_table(spark, root)
+    assert "score" in df.columns
+    assert df.count() == 150
+    assert df.filter(F.col("score").isNotNull()).count() == 50
+    assert df.filter(F.col("score").isNull()).count() == 100
+    # type change on existing column rejected
+    bad = base.limit(5).withColumn("lang", F.lit(1))
+    with pytest.raises(ValueError, match="changes type"):
+        layout.write_table(
+            bad, root, n_buckets=B, mode="append", dt_granularity="month"
+        )
+
+
 def test_expire_snapshots(spark, pages_df, tmp_path_factory):
     """Expiry drops old snapshots AND the data files only they
     reference; the surviving snapshot still reads complete data."""
