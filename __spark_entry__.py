@@ -265,6 +265,20 @@ def q_cube_lang_source(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """A5: explicit GROUPING SETS via the DataFrame API (Spark 4)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang", "source"], ["lang"], []], "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("lang", "source", "n", "total_chars", "gid")
+    )
+
+
 def q_distinct_per_type(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -889,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "cube_lang_source": q_cube_lang_source,
+        "grouping_sets": q_grouping_sets,
         "distinct_per_type": q_distinct_per_type,
         "quantiles_per_lang": q_quantiles_per_lang,
         "star_join_revenue": q_star_join_revenue,
@@ -1087,6 +1102,13 @@ def _oracles() -> dict[str, str]:
             SELECT lang, source, count(*) AS n,
                    2 * grouping(lang) + grouping(source) AS gid
             FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "grouping_sets": """
+            SELECT lang, source, count(*) AS n,
+                   sum(n_chars) AS total_chars,
+                   2 * grouping(lang) + grouping(source) AS gid
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), ())
         """,
         "distinct_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
