@@ -1022,9 +1022,9 @@ def _oracles() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts,
-                     sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                     CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS sess_id
+                       AS BIGINT) AS sess_id
               FROM g
             )
             SELECT user_id, sess_id, min(ts) AS sess_start,
@@ -1105,7 +1105,7 @@ def _oracles() -> dict[str, str]:
         """,
         "grouping_sets": """
             SELECT lang, source, count(*) AS n,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    2 * grouping(lang) + grouping(source) AS gid
             FROM documents
             GROUP BY GROUPING SETS ((lang, source), (lang), ())
@@ -1468,7 +1468,8 @@ def _oracles() -> dict[str, str]:
         """,
         "salted_group_agg": """
             SELECT l_returnflag, count(*) AS n,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty_cents,
                    min(CAST(round(l_quantity * 100) AS BIGINT))
                      AS min_qty_cents,
                    max(CAST(round(l_quantity * 100) AS BIGINT))

@@ -65,6 +65,20 @@ def test_query_matches_oracle(spark, duck, name):
         f"columns: {sorted(got.columns)} vs {sorted(exp.columns)}"
     )
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    # The driver's value-hash is dtype-sensitive: a DuckDB HUGEINT sum that
+    # fetchdf() renders as float64 vs Spark's bigint hashes differently even
+    # when values agree (round-1 sessionize/grouping_sets failures). Replicate
+    # by requiring matching numeric-kind per column (int-family vs float).
+    kind = lambda d: {"i": "i", "u": "i", "f": "f"}.get(d.kind, "o")  # noqa: E731
+    for col in got.columns:
+        gk, ek = kind(got[col].dtype), kind(exp[col].dtype)
+        # all-null columns surface as object/float64 in pandas; skip those
+        if got[col].isna().all() or exp[col].isna().all():
+            continue
+        assert gk == ek, (
+            f"dtype kind mismatch on {col!r}: spark {got[col].dtype} vs "
+            f"oracle {exp[col].dtype} — driver hash would differ"
+        )
     g, e = _normalize(got), _normalize(exp)
     mismatches = [i for i, (a, b) in enumerate(zip(g, e)) if a != b]
     assert not mismatches, (
