@@ -186,6 +186,11 @@ class MaterializeJob:
         """Materialize [start, end). Returns summary metrics. Resumable:
         bucket batches with matching lineage are skipped."""
         snap_id = self._input_snapshot()
+        write_store_meta(
+            self.dest,
+            n_buckets=self.n_buckets,
+            key_col=self.view.entity.join_key,
+        )
         batches = [
             list(range(b, min(b + self.bucket_batch, self.n_buckets)))
             for b in range(0, self.n_buckets, self.bucket_batch)
@@ -227,6 +232,45 @@ class MaterializeJob:
         }
 
 
+def _store_meta_path(dest: str) -> str:
+    return os.path.join(dest, layout.META_DIR, "store.json")
+
+
+def write_store_meta(dest: str, *, n_buckets: int, key_col: str) -> None:
+    """Persist the store's bucket modulus (ADVICE r01: inferring it from
+    ``1+max(bucket dirs)`` is wrong when the top bucket was never written —
+    point lookups then hash keys with a different modulus than the writer
+    used and silently miss). Atomic tmp+rename; refuses to change the
+    modulus of an existing store."""
+    import json
+
+    path = _store_meta_path(dest)
+    prior = read_store_meta(dest)
+    if prior is not None:
+        if prior["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"store {dest} was written with n_buckets="
+                f"{prior['n_buckets']}, cannot re-materialize with "
+                f"{n_buckets}"
+            )
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets, "key_col": key_col}, f)
+    os.replace(tmp, path)
+
+
+def read_store_meta(dest: str) -> dict | None:
+    import json
+
+    path = _store_meta_path(dest)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def last_materialized_end(dest: str) -> str | None:
     """The latest ``end`` across lineage records — where the next
     incremental run resumes (upstream: the registry's materialized-range
@@ -265,7 +309,11 @@ def read_online(
     if keys is None:
         return spark.read.parquet(data)
     dirs = sorted(d for d in os.listdir(data) if d.startswith("bucket="))
-    n_buckets = 1 + max(int(d.split("=")[1]) for d in dirs)
+    meta = read_store_meta(dest)
+    if meta is not None:
+        n_buckets = meta["n_buckets"]
+    else:  # legacy store without metadata: best-effort inference
+        n_buckets = 1 + max(int(d.split("=")[1]) for d in dirs)
     wanted = layout.buckets_of_keys(spark, keys, n_buckets)
     paths = [
         os.path.join(data, d)

@@ -74,6 +74,15 @@ def salted_group_agg(
     ``salt`` partial rows per key regardless of how hot it is; phase 2
     merges partials per key. Result is EXACTLY groupBy(key).agg(...);
     only the shuffle shape changes (verified in tests/test_skew.py).
+    ``count`` on a named column counts non-null values of that column
+    (groupBy null semantics); pass ``"*"`` for count(*).
+
+    The salt is derived deterministically from the row's own columns
+    (``pmod(xxhash64(*cols), salt)``) — a nondeterministic salt such as
+    monotonically_increasing_id() feeding a shuffle re-assigns rows on
+    task retry and can double-count or drop partials under fetch-failure
+    recovery (the SPARK-23207 hazard class; ADVICE r01). Content-hash
+    salting still spreads a hot key because its rows differ in payload.
 
     avg/stddev: derive from sum+count/sumsq-composition at the call
     site — they are not directly mergeable by name.
@@ -85,10 +94,15 @@ def salted_group_agg(
         if fn not in merge_fn:
             raise ValueError(f"non-decomposable agg {fn!r}; compose it from sum/count")
         p = f"__p_{out}"
-        phase1.append(getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(p))
+        if fn == "count":
+            src = F.lit(1) if col in ("*", None) else F.col(col)
+        else:
+            src = F.col(col)
+        phase1.append(getattr(F, fn)(src).alias(p))
         phase2.append(getattr(F, merge_fn[fn])(p).alias(out))
     salted = df.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
     )
     partial = salted.groupBy(key, "__salt").agg(*phase1)
     return partial.groupBy(key).agg(*phase2)

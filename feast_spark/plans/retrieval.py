@@ -101,12 +101,15 @@ def plan_retrieval(
                 ).first()
                 probe_bounds = (b["lo"], b["hi"])
             lo, hi = probe_bounds
-            if lo is not None:
-                if fv.ttl is not None:
-                    lo = lo - fv.ttl
+            if hi is not None:
                 import datetime as _dt
 
-                src_kw = {"start": lo, "end": hi + _dt.timedelta(seconds=1)}
+                # With no TTL the as-of lookback is unbounded: a key whose
+                # latest feature row predates the earliest probe is still a
+                # valid PIT match, so only the upper bound may prune.
+                src_kw = {"end": hi + _dt.timedelta(seconds=1)}
+                if lo is not None and fv.ttl is not None:
+                    src_kw["start"] = lo - fv.ttl
             from feast_spark.sources.pages import buckets_of_keys, current_snapshot
 
             n_buckets = current_snapshot(fv.layout_root)["n_buckets"]

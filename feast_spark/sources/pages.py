@@ -92,6 +92,22 @@ def write_table(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     prev = current_snapshot(root) if mode == "append" else None
+    if mode == "overwrite":
+        # Spark's overwrite deletes every prior data file, so stale
+        # snap-*.json / lineage would reference nothing (time travel to
+        # them would crash and expire_snapshots would see a phantom HEAD
+        # successor — ADVICE r01). Drop all prior metadata first.
+        meta = os.path.join(root, META_DIR)
+        if os.path.isdir(meta):
+            import shutil
+
+            for name in os.listdir(meta):
+                if name.startswith("snap-") and name.endswith(".json"):
+                    os.remove(os.path.join(meta, name))
+            shutil.rmtree(os.path.join(meta, LINEAGE_DIR), ignore_errors=True)
+            head = os.path.join(meta, "HEAD")
+            if os.path.exists(head):
+                os.remove(head)
     # diff against every file ANY snapshot knows (compaction leaves old
     # files on disk for time travel — they must not re-register)
     prev_files: set[str] = set()
@@ -282,6 +298,37 @@ def _commit_snapshot(root: str, snapshot: dict) -> None:
     os.replace(head_tmp, os.path.join(meta, "HEAD"))
 
 
+def _compact_cell(
+    root: str,
+    dt: str,
+    bucket: int,
+    rel_paths: list[str],
+    key_col: str,
+    ts_col: str,
+    new_snap_id: int,
+) -> dict:
+    """Rewrite one (dt, bucket) cell into a single (key, ts)-sorted file.
+    Runs on an executor (shared FS assumed, as on any real cluster).
+    Files written before an add-column schema evolution are read with
+    permissive promotion (missing columns null-filled) — ADVICE r01."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tabs = [pq.read_table(os.path.join(root, p)) for p in rel_paths]
+    tbl = pa.concat_tables(tabs, promote_options="permissive")
+    order = pa.compute.sort_indices(
+        tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+    )
+    tbl = tbl.take(order)
+    rel = os.path.join(
+        DATA_DIR, f"dt={dt}", f"bucket={bucket}",
+        f"compact-{new_snap_id:06d}.parquet",
+    )
+    out_path = os.path.join(root, rel)
+    pq.write_table(tbl, out_path)
+    return _file_stats(out_path, rel, key_col, ts_col)
+
+
 def compact_table(
     spark: SparkSession,
     root: str,
@@ -293,45 +340,58 @@ def compact_table(
     then commit a new snapshot referencing the rewritten files. Old data
     files stay on disk untouched — prior snapshots (time travel) keep
     reading them; only the new snapshot sees the compacted layout.
+
+    The per-cell concat/sort/rewrite fans out across executors via
+    ``mapInPandas`` over the cell list (one task per cell, same shape as
+    ``collect_stats_distributed``); only ~100-byte stat dicts return to
+    the driver, which then commits the snapshot. At 100 TB this is
+    O(cells/parallelism) wall-clock instead of a driver-sequential loop.
     Returns the new snapshot id."""
-    import pyarrow as paq  # noqa: F401  (import check)
-    import pyarrow.parquet as pq
+    import pandas as pd
 
     snap = current_snapshot(root)
     if snap is None:
         raise FileNotFoundError(f"no table at {root}")
     key_col, ts_col = snap["key_col"], snap["ts_col"]
+    new_snap_id = snap["snapshot_id"] + 1
 
     by_cell: dict[tuple, list[dict]] = {}
     for fstat in snap["files"]:
         by_cell.setdefault((fstat["dt"], fstat["bucket"]), []).append(fstat)
 
     new_files: list[dict] = []
-    rewritten = 0
+    todo: list[tuple[str, int, list[str]]] = []
     for (dt, bucket), files in sorted(by_cell.items()):
         if len(files) < min_files:
             new_files.extend(files)
-            continue
-        paths = [os.path.join(root, f["path"]) for f in files]
-        import pyarrow as pa
+        else:
+            todo.append((dt, bucket, [f["path"] for f in files]))
 
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-        order = pa.compute.sort_indices(
-            tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+    if todo:
+        def rewrite(it):
+            for pdf in it:
+                stats = [
+                    json.dumps(
+                        _compact_cell(
+                            root, r.dt, int(r.bucket), json.loads(r.paths),
+                            key_col, ts_col, new_snap_id,
+                        )
+                    )
+                    for r in pdf.itertuples()
+                ]
+                yield pd.DataFrame({"stat": stats})
+
+        cells = spark.createDataFrame(
+            [(dt, b, json.dumps(paths)) for dt, b, paths in todo],
+            "dt string, bucket int, paths string",
         )
-        tbl = tbl.take(order)
-        rel = os.path.join(
-            DATA_DIR, f"dt={dt}", f"bucket={bucket}",
-            f"compact-{snap['snapshot_id'] + 1:06d}.parquet",
-        )
-        out_path = os.path.join(root, rel)
-        pq.write_table(tbl, out_path)
-        new_files.append(_file_stats(out_path, rel, key_col, ts_col))
-        rewritten += len(files)
+        n = max(1, min(len(todo), spark.sparkContext.defaultParallelism))
+        out = cells.repartition(n).mapInPandas(rewrite, "stat string").collect()
+        new_files.extend(json.loads(r["stat"]) for r in out)
 
     new_snap = {
         **snap,
-        "snapshot_id": snap["snapshot_id"] + 1,
+        "snapshot_id": new_snap_id,
         "parent": snap["snapshot_id"],
         "committed_at": time.time(),
         "operation": "compact",

@@ -239,3 +239,63 @@ def test_empty_prune_returns_empty_with_schema(spark, table_root):
     df = layout.read_table(spark, table_root, start="2030-01-01", end="2031-01-01")
     assert df.count() == 0
     assert "url" in df.columns and "html" in df.columns
+
+
+def test_compaction_after_schema_evolution(spark, pages_df, tmp_path_factory):
+    """ADVICE r01: a (dt,bucket) cell mixing pre- and post-add-column
+    files must compact (permissive promotion null-fills the missing
+    column) instead of raising ArrowInvalid."""
+    root = str(tmp_path_factory.mktemp("compact_evo") / "t")
+    base = pages_df.select("url", "warc_ts", "lang")
+    layout.write_table(base.limit(100), root, n_buckets=B, dt_granularity="month")
+    with_score = base.limit(100).withColumn(
+        "score", F.length("lang").cast("double")
+    )
+    layout.write_table(
+        with_score, root, n_buckets=B, mode="append", dt_granularity="month"
+    )
+    n_before = layout.read_table(spark, root).count()
+    nn_before = (
+        layout.read_table(spark, root).filter(F.col("score").isNotNull()).count()
+    )
+    layout.compact_table(spark, root)
+    df = layout.read_table(spark, root)
+    assert df.count() == n_before == 200
+    assert df.filter(F.col("score").isNotNull()).count() == nn_before == 100
+    # every compacted cell holds exactly one file
+    cells = {}
+    for f in layout.current_snapshot(root)["files"]:
+        cells.setdefault((f["dt"], f["bucket"]), []).append(f)
+    assert all(len(v) == 1 for v in cells.values())
+
+
+def test_overwrite_resets_stale_snapshots(spark, pages_df, tmp_path_factory):
+    """ADVICE r01: overwriting a multi-snapshot table must not leave
+    snap-000002+.json pointing at deleted data — time travel to them and
+    expire_snapshots both have to behave."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("ovw") / "t")
+    half1 = pages_df.filter(F.col("lang") != "zz")
+    half2 = pages_df.filter(F.col("lang") == "zz")
+    layout.write_table(half1, root, n_buckets=B, dt_granularity="month")
+    layout.write_table(half2, root, n_buckets=B, mode="append", dt_granularity="month")
+    layout.write_table(half2, root, n_buckets=B, mode="append", dt_granularity="month")
+
+    n_new = half1.limit(30).count()
+    layout.write_table(
+        half1.limit(30), root, n_buckets=B, dt_granularity="month"
+    )  # mode=overwrite default
+    snaps = sorted(
+        f for f in os.listdir(os.path.join(root, "metadata"))
+        if f.startswith("snap-")
+    )
+    assert snaps == ["snap-000001.json"], snaps
+    assert layout.read_table(spark, root).count() == n_new
+    # expire on the fresh table is a no-op, not a crash
+    res = layout.expire_snapshots(root, keep_last=1)
+    assert res["snapshots_removed"] == 0
+    # and appending continues normally from snapshot 1
+    layout.write_table(half2.limit(5), root, n_buckets=B, mode="append",
+                       dt_granularity="month")
+    assert layout.current_snapshot(root)["snapshot_id"] == 2

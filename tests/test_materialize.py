@@ -166,3 +166,53 @@ def test_plain_parquet_source(spark, pages_df, data_dir, tmp_path_factory):
         spark, view, dest, n_buckets=B, bucket_batch=2, transform=_transform
     ).run(START, END)
     assert summary["rows"] == pages_df.select("url").distinct().count()
+
+
+def test_point_lookup_with_unwritten_top_bucket(spark, tmp_path_factory):
+    """ADVICE r01 (medium): the store's bucket modulus must come from
+    persisted metadata, not 1+max(existing bucket dirs) — when no key
+    hashes to the highest bucket, the inferred modulus is wrong and point
+    lookups silently miss keys that exist."""
+    from pyspark.sql import Row
+
+    # find urls that all hash AWAY from the top bucket for n_buckets=8
+    n_b = 8
+    urls = [f"https://m.example/{i}" for i in range(200)]
+    bdf = spark.createDataFrame([Row(url=u) for u in urls]).withColumn(
+        "b", layout.bucket_expr("url", n_b)
+    )
+    rows = {r["url"]: r["b"] for r in bdf.collect()}
+    top = max(rows.values())
+    keep = [u for u, b in rows.items() if b != top][:50]
+    assert keep, "need urls avoiding the top bucket"
+
+    src = spark.createDataFrame(
+        [Row(url=u, warc_ts="2023-12-01 00:00:00", text="x" * 10) for u in keep]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    import os
+
+    d = tmp_path_factory.mktemp("meta_store")
+    src_path = str(d / "src.parquet")
+    src.write.parquet(src_path)
+    dest = str(d / "store")
+    view = FeatureView(
+        name="m",
+        entity=Entity("url", "url"),
+        source=src_path,
+        features=[FeatureSpec("n_chars", "bigint")],
+        timestamp_field="warc_ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=n_b, bucket_batch=4, transform=_transform
+    ).run(START, END)
+    # top bucket dir must be absent for the test to bite
+    dirs = os.listdir(os.path.join(dest, layout.DATA_DIR))
+    assert f"bucket={top}" not in dirs
+    got = read_online(spark, dest, keys=keep).select("url").distinct().count()
+    assert got == len(keep)
+
+    # re-materializing with a different modulus is refused
+    with pytest.raises(ValueError, match="n_buckets"):
+        MaterializeJob(
+            spark, view, dest, n_buckets=4, bucket_batch=4, transform=_transform
+        ).run(START, END)

@@ -160,3 +160,37 @@ def test_multi_view_full_feature_names(spark, lstore, probes_df, data_dir):
         F.col("pg__n_chars").isNotNull() != F.col("pg2__n_tokens").isNotNull()
     ).count()
     assert mism == 0
+
+
+def test_no_ttl_retrieval_sees_stale_features(spark, tmp_path_factory):
+    """ADVICE r01 (high): with ttl=None the as-of lookback is unbounded, so
+    manifest pruning must NOT apply a lower time bound — a key whose latest
+    feature row predates the earliest probe ts still matches."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path_factory.mktemp("nottl") / "table")
+    old = spark.createDataFrame(
+        [
+            Row(url=f"https://a.example/{i}", warc_ts=f"2023-01-0{1 + i % 9} 00:00:00",
+                n_chars=100 + i)
+            for i in range(40)
+        ]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    layout.write_table(old, root, n_buckets=4)
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="stale",
+            entity=Entity("url", "url"),
+            source=root,
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=None,
+            timestamp_field="warc_ts",
+        )
+    )
+    # probes a year after every feature row: old files must NOT be pruned
+    probes = spark.createDataFrame(
+        [Row(url=f"https://a.example/{i}", ts="2024-06-01 00:00:00") for i in range(40)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = store.get_historical_features(probes, ["stale:n_chars"])
+    assert out.filter(F.col("n_chars").isNotNull()).count() == 40

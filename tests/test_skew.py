@@ -75,3 +75,31 @@ def test_plan_salting(spark, pages_df):
     assert "d000.example" in plan["hot_keys"]
     cold = plan_salting(d, "domain", threshold=total * 2, sample_fraction=None)
     assert cold["use_salting"] is False and cold["hot_keys"] == []
+
+
+def test_salted_count_null_semantics_and_determinism(spark):
+    """count on a named column skips nulls (groupBy semantics) and the
+    salt is a deterministic function of row content (retry-safe)."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.skew import salted_group_agg
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.0), Row(k="a", v=None), Row(k="a", v=3.0),
+         Row(k="b", v=None), Row(k="b", v=None)]
+    )
+    got = salted_group_agg(
+        df, "k", {"n": ("v", "count"), "n_star": ("*", "count")}, salt=4
+    ).orderBy("k").collect()
+    want = (
+        df.groupBy("k")
+        .agg(F.count("v").alias("n"), F.count(F.lit(1)).alias("n_star"))
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # deterministic across evaluations (same plan → identical results)
+    again = salted_group_agg(
+        df, "k", {"n": ("v", "count"), "n_star": ("*", "count")}, salt=4
+    ).orderBy("k").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
