@@ -120,6 +120,54 @@ def q_pit_no_ttl(spark, sf_dir):
     return out.select("user_id", "ts", F.round("value", 6).alias("value"), "event_ts")
 
 
+def q_pit_two_views_prefixed(spark, sf_dir):
+    """Flagship upstream API shape: one entity_df chained through TWO
+    feature views with full_feature_names=True (view__feature prefixes)
+    — upstream get_historical_features multi-view retrieval
+    (plans/retrieval.py plan_retrieval). View 1 has a TTL; view 2 has
+    ttl=None (unbounded lookback), so this also driver-verifies the
+    no-TTL retrieval path end to end."""
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="ev_val",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id", F.col("ts").alias("ets"), "value"
+            ),
+            features=[FeatureSpec("value", "double")],
+            ttl=timedelta(seconds=PIT_TTL_S),
+            timestamp_field="ets",
+        )
+    )
+    store.apply(
+        FeatureView(
+            name="ev_dbl",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id",
+                F.col("ts").alias("ets"),
+                (F.col("value") * 2).alias("v2"),
+            ),
+            features=[FeatureSpec("v2", "double")],
+            ttl=None,
+            timestamp_field="ets",
+        )
+    )
+    out = store.get_historical_features(
+        probes, ["ev_val:value", "ev_dbl:v2"], full_feature_names=True
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("ev_val__value", 6).alias("ev_val__value"),
+        F.round("ev_dbl__v2", 6).alias("ev_dbl__v2"),
+    )
+
+
 def q_lag_lead(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -893,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_asof_broadcast": q_pit_asof_broadcast,
         "pit_asof_cogroup": q_pit_asof_cogroup,
         "pit_no_ttl": q_pit_no_ttl,
+        "pit_two_views_prefixed": q_pit_two_views_prefixed,
         "lag_lead": q_lag_lead,
         "running_sum": q_running_sum,
         "rolling_7d": q_rolling_7d,
@@ -977,6 +1026,27 @@ def _oracles() -> dict[str, str]:
             SELECT p.user_id, p.ts, round(f.value, 6) AS value, f.ts AS event_ts
             FROM probes p ASOF LEFT JOIN events f
               ON p.user_id = f.user_id AND p.ts >= f.ts
+        """,
+        "pit_two_views_prefixed": f"""
+            WITH probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            a AS (
+              SELECT p.user_id, p.ts, f.value, f.ts AS ets
+              FROM probes p ASOF LEFT JOIN events f
+                ON p.user_id = f.user_id AND p.ts >= f.ts
+            ),
+            b AS (
+              SELECT p.user_id, p.ts, f.value * 2 AS v2
+              FROM probes p ASOF LEFT JOIN events f
+                ON p.user_id = f.user_id AND p.ts >= f.ts
+            )
+            SELECT a.user_id, a.ts,
+                   CASE WHEN a.ets >= a.ts - INTERVAL {PIT_TTL_S} SECONDS
+                        THEN round(a.value, 6) END AS ev_val__value,
+                   round(b.v2, 6) AS ev_dbl__v2
+            FROM a JOIN b ON a.user_id = b.user_id AND a.ts = b.ts
         """,
         "lag_lead": """
             SELECT user_id, ts, round(value, 6) AS value,

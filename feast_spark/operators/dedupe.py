@@ -148,28 +148,54 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_k: int = 3,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index
-    (explode → self-join on shingle → count matches / union size). The
-    honest O(pairs-sharing-a-shingle) baseline MinHash approximates."""
+    """Exact n-gram-Jaccard near-dup pairs via an inverted shingle index.
+
+    Two phases (VERDICT r01 #7): (1) candidate generation — explode to an
+    inverted index, DROP shingles whose document frequency exceeds
+    ``max_shingle_df`` (a universal shingle like "of the and" would make
+    one bucket quadratic in corpus size), then self-join on the surviving
+    shingles; (2) exact verification — join the full (uncapped) shingle
+    arrays back and compute true Jaccard, so the cap never distorts the
+    score. A pair is missed only if EVERY shared shingle is more common
+    than the cap — at threshold≈0.8 a true near-dup pair shares mostly
+    document-specific shingles, so recall loss is negligible (planted-dup
+    pytest covers this)."""
     sh = df.select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
-    ).withColumn("__n", F.size("__sh"))
-    inv = sh.select(F.col(id_col), "__n", F.explode("__sh").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
+    )
+    inv = sh.select(F.col(id_col), F.explode("__sh").alias("s"))
+    # document frequency per shingle: map-side-combinable count, then the
+    # stop-shingle guard. The df table is shingle-distinct, so the join
+    # back is an equi-join that broadcasts when small.
+    rare = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_shingle_df)
+        .select("s")
+    )
+    inv_rare = inv.join(rare, "s")
+    a, b = inv_rare.alias("a"), inv_rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.__n").alias("na"),
-            F.col("b.__n").alias("nb"),
         )
-        .agg(F.count(F.lit(1)).alias("ninter"))
+        .distinct()
     )
     return (
-        inter.withColumn(
-            "jaccard", F.col("ninter") / (F.col("na") + F.col("nb") - F.col("ninter"))
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -188,22 +214,34 @@ def simhash64(text_col: Column) -> Column:
 
     @F.pandas_udf("long")
     def _simhash(s: pd.Series) -> pd.Series:
+        # Whole-batch vectorization (VERDICT r01 #9): flatten every row's
+        # tokens into ONE array, hash once, then segment-reduce the bit
+        # votes back to rows with add.reduceat — no per-row numpy calls.
         out = np.zeros(len(s), dtype=np.uint64)
+        tok_lists = [txt.lower().split() if txt else [] for txt in s]
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        total = int(counts.sum())
+        if total == 0:
+            return pd.Series(out.view(np.int64))
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in tok_lists:
+            if t:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+        h = pd.util.hash_array(flat)  # uint64 per token, deterministic
         shifts = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(s):
-            if not txt:
-                continue
-            toks = np.array(txt.lower().split(), dtype=object)
-            if toks.size == 0:
-                continue
-            h = pd.util.hash_array(toks)  # uint64 per token, deterministic
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            sig |= ((votes >= 0).astype(np.uint64) << shifts).sum(
-                dtype=np.uint64
-            )
-            out[i] = sig
+        bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        nz = counts > 0
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+        ones = np.add.reduceat(bits, starts, axis=0)  # per-row 1-votes
+        votes = 2 * ones - counts[nz, None]  # (+1 per 1-bit, -1 per 0-bit)
+        sigs = ((votes >= 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nz] = sigs
         return pd.Series(out.view(np.int64))
 
     return _simhash(text_col)

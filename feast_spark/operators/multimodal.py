@@ -201,7 +201,12 @@ def frame_sample(
     (fixed-stride byte windows standing in for video frames — a real
     implementation swaps the slicer for a container-aware demuxer). The
     expansion is mapInPandas → explode-shaped: rows multiply, payload
-    bytes are sliced per frame, ordering column preserved."""
+    bytes are sliced per frame, ordering column preserved.
+
+    Vectorized expansion (VERDICT r01 #5): per-row frame counts come from
+    numpy on the payload lengths, the carried columns are replicated with
+    ``np.repeat`` + positional ``take``; Python touches only the payload
+    byte slices (unavoidable — they vary in length)."""
     keep = [f for f in df.schema.fields if f.name != payload_col]
     schema = T.StructType(
         keep
@@ -214,22 +219,31 @@ def frame_sample(
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {c: [] for c in keep_names}
-            idxs, frames = [], []
-            for _, row in pdf.iterrows():
-                p = row[payload_col]
-                if p is None:
-                    continue
-                b = bytes(p)
-                n = min(max_frames, max(1, len(b) // every_n_bytes))
-                for i in range(n):
-                    for c in keep_names:
-                        rows[c].append(row[c])
-                    idxs.append(i)
-                    frames.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
-            out = pd.DataFrame(rows)
-            out["frame_idx"] = pd.Series(idxs, dtype="int32")
-            out["frame_bytes"] = frames
+            payloads = pdf[payload_col]
+            mask = payloads.notna().to_numpy()
+            if not mask.any():
+                yield pd.DataFrame(
+                    {**{c: pdf[c].iloc[:0] for c in keep_names},
+                     "frame_idx": pd.Series([], dtype="int32"),
+                     "frame_bytes": pd.Series([], dtype=object)}
+                )
+                continue
+            sub = pdf.loc[mask]
+            blobs = [bytes(p) for p in sub[payload_col]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            counts = np.clip(lens // every_n_bytes, 1, max_frames)
+            rep = np.repeat(np.arange(len(blobs)), counts)
+            # frame index within each payload: position minus its
+            # payload's first output position
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            idxs = (np.arange(rep.size) - starts[rep]).astype(np.int32)
+            out = sub[keep_names].iloc[rep].reset_index(drop=True)
+            out["frame_idx"] = idxs
+            out["frame_bytes"] = [
+                blobs[r][i * every_n_bytes : (i + 1) * every_n_bytes]
+                for r, i in zip(rep.tolist(), idxs.tolist())
+            ]
             yield out
 
     return df.mapInPandas(kernel, schema=schema)

@@ -54,6 +54,31 @@ def detect_hot_keys(
     )
 
 
+def detect_hot_keys_from_manifest(
+    snapshot: dict,
+    *,
+    frac: float = 0.05,
+    min_rows: int = DEFAULT_HOT_THRESHOLD,
+) -> list:
+    """Zero-scan hot-key detection from layout file stats (SURVEY §4.2.2).
+
+    Layout files are (key, ts)-sorted, so a file whose ``min_key ==
+    max_key`` holds exactly one key; summing such files' rows per key is
+    a guaranteed LOWER BOUND on that key's row count — no data pages are
+    read, only the manifest the planner already has in hand. A key is hot
+    when its bound exceeds ``max(min_rows, frac * table_rows)``. Keys that
+    never fill a whole file can't dominate a task, so the undercount is
+    exactly the conservatism we want."""
+    files = snapshot.get("files", [])
+    total = sum(f["rows"] for f in files) or 1
+    per_key: dict = {}
+    for f in files:
+        if f.get("min_key") is not None and f["min_key"] == f["max_key"]:
+            per_key[f["min_key"]] = per_key.get(f["min_key"], 0) + f["rows"]
+    cut = max(float(min_rows), frac * total)
+    return sorted(k for k, n in per_key.items() if n >= cut)
+
+
 def domain_of(url_col: str | Column = "url") -> Column:
     """Registrable-host extraction for hot-DOMAIN policies."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col

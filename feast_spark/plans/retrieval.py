@@ -35,6 +35,13 @@ BROADCAST_PROBE_ROWS = 100_000
 # retrieval reads ~|buckets|/B of the table instead of all of it
 BUCKET_PRUNE_PROBE_ROWS = 10_000
 
+# a single entity key with ≥ this many feature rows (manifest lower
+# bound) routes an auto-chosen union plan to cogroup: the union window's
+# partitionBy(key) sort concentrates the hot key in one JVM sort task,
+# while cogroup's per-bucket merge_asof is a linear vectorized merge with
+# no sort-spill (SURVEY §4.2.2)
+HOT_KEY_MIN_ROWS = 1_000_000
+
 
 def choose_strategy(
     probes: DataFrame,
@@ -63,8 +70,14 @@ def plan_retrieval(
     full_feature_names: bool = False,
     strategy: str | None = None,
     probe_count_hint: int | None = None,
+    hot_key_min_rows: int = HOT_KEY_MIN_ROWS,
+    decisions: list | None = None,
 ) -> DataFrame:
-    """Build the retrieval DataFrame: entity_df + one PIT join per view."""
+    """Build the retrieval DataFrame: entity_df + one PIT join per view.
+
+    ``decisions``, when given, collects one dict per view with the chosen
+    strategy and any manifest-detected hot keys — the skew decision is
+    visible in the job log / tests, not hidden planner magic."""
     # group refs by view, preserving order
     by_view: dict[str, list[str]] = {}
     for ref in features:
@@ -86,6 +99,26 @@ def plan_retrieval(
         chosen = strategy or choose_strategy(
             entity_df, probe_n, layout_backed=fv.layout_root is not None
         )
+        hot_keys: list = []
+        if strategy is None and chosen != "cogroup" and fv.layout_root:
+            # skew probe (SURVEY §4.2.2): manifest stats are already on
+            # the driver — zero extra scans. A hot entity key makes the
+            # union window's partitionBy(key) one giant sort task and
+            # blows up broadcast's range-join fanout (hot_rows × probes
+            # of that key); cogroup's per-bucket merge_asof stays linear,
+            # so hot tables route there.
+            from feast_spark.operators.skew import detect_hot_keys_from_manifest
+            from feast_spark.sources.pages import current_snapshot as _snap
+
+            hot_keys = detect_hot_keys_from_manifest(
+                _snap(fv.layout_root), min_rows=hot_key_min_rows
+            )
+            if hot_keys:
+                chosen = "cogroup"
+        if decisions is not None:
+            decisions.append(
+                {"view": view_name, "strategy": chosen, "hot_keys": hot_keys}
+            )
         src_kw: dict = {}
         n_buckets = None
         if fv.layout_root:

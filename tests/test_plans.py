@@ -103,3 +103,62 @@ def test_whole_stage_codegen_covers_filters(spark, pages_df):
         assert any(
             op in l and "[codegen id :" in l for l in plan.splitlines()
         ), f"{op} not codegen'd"
+
+
+def test_hot_key_routes_union_to_cogroup(spark, tmp_path_factory):
+    """VERDICT r01 #6: a planted ~30%-hot key (detected from manifest
+    stats alone) flips an auto-chosen union plan to cogroup; results are
+    identical either way."""
+    from datetime import timedelta
+
+    from pyspark.sql import Row
+
+    from feast_spark.plans.retrieval import plan_retrieval
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+    from feast_spark.sources import pages as layout
+
+    rows = []
+    # hot key: 300 of ~1000 rows on one url
+    for i in range(300):
+        rows.append(Row(url="https://hot.example/", 
+                        warc_ts=f"2023-12-{1 + i % 28:02d} {i % 24:02d}:00:00",
+                        n_chars=i))
+    for u in range(70):
+        for i in range(10):
+            rows.append(Row(url=f"https://cold{u}.example/",
+                            warc_ts=f"2023-12-{1 + i:02d} 01:00:00",
+                            n_chars=u * 10 + i))
+    src = spark.createDataFrame(rows).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    ).dropDuplicates(["url", "warc_ts"])
+    root = str(tmp_path_factory.mktemp("hot") / "t")
+    layout.write_table(src, root, n_buckets=4)
+
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="hotv", entity=Entity("url", "url"), source=root,
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90), timestamp_field="warc_ts",
+        )
+    )
+    probes = src.select("url").distinct().withColumn(
+        "ts", F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    decisions: list = []
+    got = plan_retrieval(
+        store, probes, ["hotv:n_chars"],
+        hot_key_min_rows=100,
+        decisions=decisions,
+    )
+    assert decisions[0]["strategy"] == "cogroup"
+    assert "https://hot.example/" in decisions[0]["hot_keys"]
+    want = plan_retrieval(store, probes, ["hotv:n_chars"], strategy="union")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # without a hot key the same auto plan keeps its probe-count choice
+    cold_dec: list = []
+    plan_retrieval(
+        store, probes, ["hotv:n_chars"],
+        hot_key_min_rows=10_000, decisions=cold_dec,
+    )
+    assert cold_dec[0]["strategy"] == "broadcast" and not cold_dec[0]["hot_keys"]
