@@ -930,6 +930,136 @@ def q_salted_group_agg(spark, sf_dir):
     )
 
 
+def q_layout_prune_scan(spark, sf_dir):
+    """S2/S6 driver-verified: events → Iceberg-style layout (sorted files,
+    manifest) → manifest-pruned read over a time range. The pruned scan +
+    residual filter must equal a plain SQL range filter
+    (sources/pages.py write_table/read_table/plan_files)."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(ev, root, key_col="user_id", ts_col="ts", n_buckets=4)
+    lo, hi = "2023-06-01 00:00:00", "2023-09-01 00:00:00"
+    df = layout.read_table(spark, root, start=lo, end=hi)
+    return (
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select("event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+    )
+
+
+def q_layout_time_travel(spark, sf_dir):
+    """S3 driver-verified: snapshot 1 = even event_ids, snapshot 2 appends
+    the odd ones; a time-travel read of snapshot 1 must see only the even
+    half (sources/pages.py read_table(snapshot=))."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4,
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+    )
+    assert layout.current_snapshot(root)["snapshot_id"] == 2
+    return layout.read_table(spark, root, snapshot=1).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+def q_online_store_lookup(spark, sf_dir):
+    """S7/S8 driver-verified: materialize latest-per-key into the bucketed
+    serving store (per-bucket lineage checkpoints), then point-look-up a
+    fixed key set (materialize.py MaterializeJob/read_online)."""
+    import tempfile
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+
+    dest = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "store")
+    view = FeatureView(
+        name="ev_online",
+        entity=Entity("user_id", "user_id"),
+        source=os.path.join(sf_dir, "events.parquet"),
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=8, bucket_batch=8,
+        transform=lambda df: df.select("user_id", "ts", "value"),
+    ).run("2023-01-01", "2025-01-01")
+    keys = list(range(0, 40))
+    out = read_online(spark, dest, keys=keys, key_col="user_id")
+    return out.select("user_id", "ts", F.round("value", 6).alias("value"))
+
+
+def q_field_mapping_rename(spark, sf_dir):
+    """P2 driver-verified: FeatureView.field_mapping renames source
+    columns at load (upstream spark_source field_mapping); retrieval then
+    serves the renamed feature (registry.py FeatureView.load)."""
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="mapped",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id", F.col("ts").alias("ets"), "value"
+            ),
+            features=[FeatureSpec("feat_value", "double")],
+            ttl=timedelta(seconds=PIT_TTL_S),
+            timestamp_field="ets",
+            field_mapping={"value": "feat_value"},
+        )
+    )
+    out = store.get_historical_features(probes, ["mapped:feat_value"])
+    return out.select(
+        "user_id", "ts", F.round("feat_value", 6).alias("feat_value")
+    )
+
+
+def q_kafka_decode(spark, sf_dir):
+    """S5 driver-verified: events → Kafka-record-shaped frame (key/value
+    binary + topic/partition/offset) → decode_kafka_records back to typed
+    rows; the round-trip must equal the source table
+    (streaming/kafka.py; upstream spark_kafka_processor value decode)."""
+    from feast_spark.streaming.kafka import decode_kafka_records
+
+    ev = _t(spark, sf_dir, "events")
+    records = ev.select(
+        F.encode(F.col("user_id").cast("string"), "utf-8").alias("key"),
+        F.encode(
+            F.to_json(F.struct("event_id", "user_id", "value")), "utf-8"
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        F.col("event_id").cast("int").bitwiseAND(F.lit(7)).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    out = decode_kafka_records(
+        records, "event_id long, user_id long, value double",
+        key_col=None, include_meta=True,
+    )
+    return out.select(
+        "topic", "partition", "offset",
+        "event_id", "user_id", F.round("value", 6).alias("value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -1000,6 +1130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
         "arrow_byte_stats": q_arrow_byte_stats,
+        "layout_prune_scan": q_layout_prune_scan,
+        "layout_time_travel": q_layout_time_travel,
+        "online_store_lookup": q_online_store_lookup,
+        "field_mapping_rename": q_field_mapping_rename,
+        "kafka_decode": q_kafka_decode,
     }
 
 
@@ -1026,6 +1161,49 @@ def _oracles() -> dict[str, str]:
             SELECT p.user_id, p.ts, round(f.value, 6) AS value, f.ts AS event_ts
             FROM probes p ASOF LEFT JOIN events f
               ON p.user_id = f.user_id AND p.ts >= f.ts
+        """,
+        "kafka_decode": """
+            SELECT 'events' AS topic,
+                   CAST(event_id & 7 AS INT) AS partition,
+                   event_id AS offset,
+                   event_id, user_id, round(value, 6) AS value
+            FROM events
+        """,
+        "layout_prune_scan": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events
+            WHERE ts >= TIMESTAMP '2023-06-01 00:00:00'
+              AND ts <  TIMESTAMP '2023-09-01 00:00:00'
+        """,
+        "layout_time_travel": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events WHERE event_id % 2 = 0
+        """,
+        "online_store_lookup": """
+            SELECT user_id, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC) AS rn
+              FROM events
+              WHERE user_id < 40
+                AND ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
+            ) WHERE rn = 1
+        """,
+        "field_mapping_rename": f"""
+            WITH probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            j AS (
+              SELECT p.user_id, p.ts, f.value, f.ts AS ets
+              FROM probes p ASOF LEFT JOIN events f
+                ON p.user_id = f.user_id AND p.ts >= f.ts
+            )
+            SELECT user_id, ts,
+                   CASE WHEN ets >= ts - INTERVAL {PIT_TTL_S} SECONDS
+                        THEN round(value, 6) END AS feat_value
+            FROM j
         """,
         "pit_two_views_prefixed": f"""
             WITH probes AS (

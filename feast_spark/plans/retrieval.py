@@ -35,6 +35,12 @@ BROADCAST_PROBE_ROWS = 100_000
 # retrieval reads ~|buckets|/B of the table instead of all of it
 BUCKET_PRUNE_PROBE_ROWS = 10_000
 
+# cogroup materializes one bucket at a time in a Python worker; when the
+# manifest says the biggest bucket exceeds this many bytes, the planner
+# multiplies the repartition count so every pandas merge stays bounded
+# (trades the layout-aligned cheap shuffle for worker-memory safety)
+COGROUP_BUCKET_BYTES = 256 << 20
+
 # a single entity key with ≥ this many feature rows (manifest lower
 # bound) routes an auto-chosen union plan to cogroup: the union window's
 # partitionBy(key) sort concentrates the hot key in one JVM sort task,
@@ -71,6 +77,7 @@ def plan_retrieval(
     strategy: str | None = None,
     probe_count_hint: int | None = None,
     hot_key_min_rows: int = HOT_KEY_MIN_ROWS,
+    cogroup_bucket_bytes: int = COGROUP_BUCKET_BYTES,
     decisions: list | None = None,
 ) -> DataFrame:
     """Build the retrieval DataFrame: entity_df + one PIT join per view.
@@ -96,11 +103,16 @@ def plan_retrieval(
     probe_keys_by_col: dict[str, list] = {}
     for view_name, feats in by_view.items():
         fv = store.get_view(view_name)
+        snap = None
+        if fv.layout_root:
+            from feast_spark.sources.pages import current_snapshot
+
+            snap = current_snapshot(fv.layout_root)
         chosen = strategy or choose_strategy(
             entity_df, probe_n, layout_backed=fv.layout_root is not None
         )
         hot_keys: list = []
-        if strategy is None and chosen != "cogroup" and fv.layout_root:
+        if strategy is None and chosen != "cogroup" and snap is not None:
             # skew probe (SURVEY §4.2.2): manifest stats are already on
             # the driver — zero extra scans. A hot entity key makes the
             # union window's partitionBy(key) one giant sort task and
@@ -108,17 +120,12 @@ def plan_retrieval(
             # of that key); cogroup's per-bucket merge_asof stays linear,
             # so hot tables route there.
             from feast_spark.operators.skew import detect_hot_keys_from_manifest
-            from feast_spark.sources.pages import current_snapshot as _snap
 
             hot_keys = detect_hot_keys_from_manifest(
-                _snap(fv.layout_root), min_rows=hot_key_min_rows
+                snap, min_rows=hot_key_min_rows
             )
             if hot_keys:
                 chosen = "cogroup"
-        if decisions is not None:
-            decisions.append(
-                {"view": view_name, "strategy": chosen, "hot_keys": hot_keys}
-            )
         src_kw: dict = {}
         n_buckets = None
         if fv.layout_root:
@@ -143,9 +150,38 @@ def plan_retrieval(
                 src_kw = {"end": hi + _dt.timedelta(seconds=1)}
                 if lo is not None and fv.ttl is not None:
                     src_kw["start"] = lo - fv.ttl
-            from feast_spark.sources.pages import buckets_of_keys, current_snapshot
+            from feast_spark.sources.pages import buckets_of_keys
 
-            n_buckets = current_snapshot(fv.layout_root)["n_buckets"]
+            layout_buckets = snap["n_buckets"]
+            n_buckets = layout_buckets
+            if chosen == "cogroup":
+                # bucket-size policy (VERDICT r01 plan audit): cogroup
+                # materializes one bucket per Python worker, so B must
+                # grow with data volume or a bucket overflows worker
+                # memory. Manifest byte stats give max bucket size for
+                # free; splitting costs layout alignment (a real shuffle
+                # instead of a B-way repartition on the precomputed id) —
+                # the right trade once a bucket won't fit.
+                per_bucket: dict = {}
+                for fs in snap["files"]:
+                    per_bucket[fs["bucket"]] = (
+                        per_bucket.get(fs["bucket"], 0) + fs.get("bytes", 0)
+                    )
+                biggest = max(per_bucket.values(), default=0)
+                if biggest > cogroup_bucket_bytes:
+                    import math
+
+                    n_buckets *= math.ceil(biggest / cogroup_bucket_bytes)
+        if decisions is not None:
+            decisions.append(
+                {
+                    "view": view_name,
+                    "strategy": chosen,
+                    "hot_keys": hot_keys,
+                    "n_buckets": n_buckets if chosen == "cogroup" else None,
+                }
+            )
+        if fv.layout_root:
             # bucket pruning for small probe sets (point-lookup shape)
             kcol = fv.entity.join_key
             if kcol not in probe_keys_by_col:
@@ -159,8 +195,10 @@ def plan_retrieval(
                     else []  # too many: skip bucket pruning
                 )
             if probe_keys_by_col[kcol]:
+                # manifest pruning always uses the LAYOUT's modulus, not
+                # the (possibly grown) cogroup repartition count
                 src_kw["buckets"] = buckets_of_keys(
-                    store.spark, probe_keys_by_col[kcol], n_buckets
+                    store.spark, probe_keys_by_col[kcol], layout_buckets
                 )
         src = fv.load(store.spark, **src_kw)
         declared = {s.name for s in fv.features}

@@ -109,6 +109,55 @@ class OnDemandFeatureView:
     schema: list[tuple[str, str]]  # [(out_col, spark dtype), ...]
 
 
+def _serialize_transform(t: Callable) -> dict | None:
+    """Persistable form of an ODFV transform (upstream feast serializes
+    transforms into the registry via dill; here it's code-as-config with
+    the same trust model, but human-readable):
+
+    1. an importable reference ``{"ref": "module:name"}`` when the
+       function is a top-level function of an importable module, else
+    2. its dedented source text ``{"src": ..., "fn": name}`` (re-``exec``d
+       on load in a namespace with numpy/pandas), else
+    3. ``None`` — lambdas and closures stay in-memory only.
+    """
+    import importlib
+    import inspect
+    import textwrap
+
+    mod = getattr(t, "__module__", None)
+    qn = getattr(t, "__qualname__", "")
+    if mod and mod != "__main__" and "." not in qn and "<" not in qn:
+        try:
+            if getattr(importlib.import_module(mod), qn, None) is t:
+                return {"ref": f"{mod}:{qn}"}
+        except ImportError:
+            pass
+    try:
+        src = textwrap.dedent(inspect.getsource(t))
+    except (OSError, TypeError):
+        return None
+    name = getattr(t, "__name__", "")
+    if not src.lstrip().startswith("def ") or "<" in name:
+        return None  # lambda / decorated blob
+    if inspect.getclosurevars(t).nonlocals:
+        return None  # closure state can't round-trip through text
+    return {"src": src, "fn": name}
+
+
+def _deserialize_transform(blob: dict) -> Callable:
+    import importlib
+
+    if "ref" in blob:
+        mod, _, fn = blob["ref"].partition(":")
+        return getattr(importlib.import_module(mod), fn)
+    import numpy
+    import pandas
+
+    ns: dict = {"np": numpy, "numpy": numpy, "pd": pandas, "pandas": pandas}
+    exec(blob["src"], ns)  # noqa: S102 — registry code-as-config (see above)
+    return ns[blob["fn"]]
+
+
 class FeatureStore:
     """Facade: register views, run historical retrieval + materialization.
 
@@ -148,6 +197,13 @@ class FeatureStore:
                     field_mapping=v.get("field_mapping", {}),
                 )
                 self._views[fv.name] = fv
+            for o in meta.get("odfvs", []):
+                self._odfvs[o["name"]] = OnDemandFeatureView(
+                    name=o["name"],
+                    sources=o["sources"],
+                    transform=_deserialize_transform(o["transform"]),
+                    schema=[tuple(s) for s in o["schema"]],
+                )
 
     def _save_registry(self) -> None:
         if not self.root:
@@ -168,15 +224,29 @@ class FeatureStore:
                     "field_mapping": fv.field_mapping,
                 }
             )
+        odfvs = []
+        for odfv in self._odfvs.values():
+            blob = _serialize_transform(odfv.transform)
+            if blob is None:
+                continue  # lambda/closure transforms stay in-memory only
+            odfvs.append(
+                {
+                    "name": odfv.name,
+                    "sources": odfv.sources,
+                    "transform": blob,
+                    "schema": [list(s) for s in odfv.schema],
+                }
+            )
         tmp = self._registry_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"views": views}, f, indent=1)
+            json.dump({"views": views, "odfvs": odfvs}, f, indent=1)
         os.replace(tmp, self._registry_path)
 
     def apply(self, view, validate: bool = False) -> None:
         if isinstance(view, OnDemandFeatureView):
             self._odfvs[view.name] = view
-            return  # code-backed; not persisted to JSON
+            self._save_registry()
+            return
         if validate:
             self.validate_view(view)
         self._views[view.name] = view
