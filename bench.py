@@ -208,12 +208,27 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # warm-up: a JVM action AND a Python/Arrow round-trip so the first
-    # timed pandas-UDF query doesn't pay worker fork + Arrow init
+    # warm-up: a JVM action, a Python/Arrow round-trip, and one tiny
+    # representative of each operator class (window, shuffle join,
+    # explode) so the FIRST timed query doesn't absorb whole-stage
+    # codegen compilation for everyone — timings then measure the plans,
+    # not JIT warm-up (the cost lands in startup_sec, reported apart)
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(256).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
+    warm = spark.range(512).withColumn("g", _F.pmod("id", _F.lit(8)))
+    _force(
+        warm.withColumn("r", _F.row_number().over(_W.partitionBy("g").orderBy("id")))
+        .withColumn("l", _F.last("id", ignorenulls=True).over(
+            _W.partitionBy("g").orderBy("id")
+            .rowsBetween(_W.unboundedPreceding, _W.currentRow)))
+    )
+    _force(warm.join(warm.groupBy("g").count(), "g"))
+    _force(warm.withColumn("x", _F.explode(_F.sequence(_F.lit(0), _F.lit(3)))))
 
     for name in HEADLINE:
         fn = qs[name]

@@ -108,3 +108,52 @@ def test_quality_features_values(spark):
     assert abs(row["q_upper_ratio"] - 2 / 15) < 1e-9
     # stopwords: the, is → 2/4
     assert abs(row["q_stopword_ratio"] - 0.5) < 1e-9
+
+
+def test_fast_path_equals_htmlparser():
+    """The tiered extractor (regex tokenizer → goahead mirror →
+    HTMLParser) must be byte-identical to the reference parser on
+    adversarial constructs and random tag soup. Tiers decline rather
+    than approximate; this pins the 'decline or match exactly' rule."""
+    import random
+
+    from feast_spark.extract_spec import (
+        _fast_extract,
+        _fastest_extract,
+        _slow_extract,
+        extract_text,
+    )
+
+    cases = [
+        "", "<", "a < b", "plain &amp; more", "<p>x</p>", "<P>X</P>",
+        "<br/><br />", "<div class='a>b'>in</div>", '<div title="a>b">q</div>',
+        "<script>var x='<p>n</p>'; if(x<3){}</script>a", "<script>untermin",
+        "<style>.x > p{}</style>t", "<!-- c --><p>y</p>", "<!DOCTYPE html><p>z",
+        "<?php ?>w", "<!bogus>v", "</>u", "</ weird>t", "</3>s",
+        "<noscript><p>h</p></noscript>s", "<template><div>t</div></template>o",
+        "<p a=1 b=2>at</p>", "<p a = '1' b=\"2\">q</p>", "<p a=1/>x",
+        "<p a=1 />y", "<p/ >z", "<p / >w", "&#x2603; &notareal; &amp m", "&",
+        "x &", "<p>&lt;t&gt;</p>", "<SCRIPT>X</SCRIPT>d", "< p>nt</ p>",
+        "<p/>s", "<ul><li>a<li>b</ul>", "text<", "<p", "<p att", '<p att="',
+        "<script>a</script  >b</script>c", "&#;", "&#x;", "<p a==b>x</p>",
+        '<p "a>b">q', "<p a=b\"c>r", "</p/>k", "</p attr>m", "<x-tag>c</x-tag>",
+        "<a b='c'/>d", "<!--->e", "<!-- -- >f-->g", "<![CDATA[x]]>h",
+    ]
+    for c in cases:
+        want = _slow_extract(c)
+        assert extract_text(c) == want, repr(c)
+        for tier in (_fastest_extract, _fast_extract):
+            got = tier(c)
+            assert got is None or got == want, (tier.__name__, repr(c))
+
+    rng = random.Random(7)
+    toks = [
+        "<p>", "</p>", "<div>", "</div>", "<b>", "</b>", "text ", "&amp;",
+        "&#x41;", "&", "<", ">", " ", "\n", "\t", "<script>", "</script>",
+        "<style>", "</style>", "<!-- x -->", "<br/>", "<a href='u'>", "</a>",
+        "<!DOCTYPE html>", "<?pi?>", "</ x>", "<3", "word", "&#9731;",
+        "<noscript>", "</noscript>", "<td>", "</td>", "'", '"', "=", "/",
+    ]
+    for _ in range(800):
+        doc = "".join(rng.choice(toks) for _ in range(rng.randint(0, 30)))
+        assert extract_text(doc) == _slow_extract(doc), repr(doc)
