@@ -197,7 +197,21 @@ python BENCH/scaling.py {N_URLS}
 Raw: `{json.dumps({str(k): v for k, v in results.items()})}`
 Control: `{json.dumps({str(k): v for k, v in ctrl.items()})}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-maintained sections (materialization, PIT strategy
+    # comparison, round-over-round tables) below the auto-written part
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    keep = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = f.read()
+        idx = prev.find("## Full materialization job")
+        if idx >= 0:
+            tail = prev[idx:]
+            cut = tail.find("## Reproduce")
+            keep = tail[:cut] if cut >= 0 else tail
+    if keep:
+        md = md.replace("## Reproduce", keep + "## Reproduce")
+    with open(path, "w") as f:
         f.write(md)
     print(f"\nefficiency={eff:.3f}  → BENCH/BASELINE.md written")
 

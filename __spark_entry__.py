@@ -1060,6 +1060,86 @@ def q_kafka_decode(spark, sf_dir):
     )
 
 
+def q_odfv_transform(spark, sf_dir):
+    """On-demand feature view driver-verified: a pandas row-transform
+    (per Arrow batch) computed at retrieval time on top of PIT-retrieved
+    features (registry.py OnDemandFeatureView; upstream
+    on_demand_feature_view.py)."""
+    import pandas as pd
+
+    from feast_spark.registry import (
+        Entity,
+        FeatureSpec,
+        FeatureStore,
+        FeatureView,
+        OnDemandFeatureView,
+    )
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="base",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id", F.col("ts").alias("ets"), "value"
+            ),
+            features=[FeatureSpec("value", "double")],
+            ttl=timedelta(seconds=PIT_TTL_S),
+            timestamp_field="ets",
+        )
+    )
+
+    def scaled(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["value_sq"] = pd.Series(pdf["value"], dtype="float64") ** 2
+        return out
+
+    store.apply(
+        OnDemandFeatureView(
+            name="derived",
+            sources=["base:value"],
+            transform=scaled,
+            schema=[("value_sq", "double")],
+        )
+    )
+    out = store.get_historical_features(probes, ["base:value", "derived:value_sq"])
+    return out.select(
+        "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.round("value_sq", 6).alias("value_sq"),
+    )
+
+
+def q_layout_compact_roundtrip(spark, sf_dir):
+    """S6-compaction driver-verified: two appends → distributed per-cell
+    compaction → read back; content must equal the plain table
+    (sources/pages.py compact_table)."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, dt_granularity="month",
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+        dt_granularity="month",
+    )
+    layout.compact_table(spark, root)
+    snap = layout.current_snapshot(root)
+    assert snap["operation"] == "compact"
+    return layout.read_table(spark, root).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -1135,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_store_lookup": q_online_store_lookup,
         "field_mapping_rename": q_field_mapping_rename,
         "kafka_decode": q_kafka_decode,
+        "odfv_transform": q_odfv_transform,
+        "layout_compact_roundtrip": q_layout_compact_roundtrip,
     }
 
 
@@ -1161,6 +1243,30 @@ def _oracles() -> dict[str, str]:
             SELECT p.user_id, p.ts, round(f.value, 6) AS value, f.ts AS event_ts
             FROM probes p ASOF LEFT JOIN events f
               ON p.user_id = f.user_id AND p.ts >= f.ts
+        """,
+        "odfv_transform": f"""
+            WITH probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            j AS (
+              SELECT p.user_id, p.ts, f.value, f.ts AS ets
+              FROM probes p ASOF LEFT JOIN events f
+                ON p.user_id = f.user_id AND p.ts >= f.ts
+            ),
+            v AS (
+              SELECT user_id, ts,
+                     CASE WHEN ets >= ts - INTERVAL {PIT_TTL_S} SECONDS
+                          THEN value END AS value
+              FROM j
+            )
+            SELECT user_id, ts, round(value, 6) AS value,
+                   round(value * value, 6) AS value_sq
+            FROM v
+        """,
+        "layout_compact_roundtrip": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events
         """,
         "kafka_decode": """
             SELECT 'events' AS topic,

@@ -63,6 +63,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("FEAST_SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # INT64 micros, not legacy INT96: the Iceberg parquet spec forbids
+        # INT96, and pyarrow round-trips (compaction) preserve micros
+        # exactly while INT96 resurfaces as unreadable-nanos
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Spark sizes Tungsten memory pages up to 64 MiB from (heap /
         # cores); on-heap pages are zero-initialized Java arrays, so with
         # many-core executors + high shuffle-partition counts every small

@@ -325,7 +325,13 @@ def _compact_cell(
         f"compact-{new_snap_id:06d}.parquet",
     )
     out_path = os.path.join(root, rel)
-    pq.write_table(tbl, out_path)
+    # Spark may have written TZ timestamps as INT96, which pyarrow reads
+    # as ns; writing ns back produces TIMESTAMP(NANOS) parquet that Spark
+    # refuses to read. Coerce to micros (Spark's native precision — no
+    # data loss) so compacted files stay Spark-readable.
+    pq.write_table(
+        tbl, out_path, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
     return _file_stats(out_path, rel, key_col, ts_col)
 
 
