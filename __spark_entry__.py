@@ -1140,6 +1140,111 @@ def q_layout_compact_roundtrip(spark, sf_dir):
     )
 
 
+def q_pit_composite_key(spark, sf_dir):
+    """Composite-entity PIT join driver-verified: by=[user_id,
+    event_type] — the tuple is one logical key (operators/asof.py;
+    upstream: a view referencing several entities joins on all keys)."""
+    from feast_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", "event_type",
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 30 MINUTES")).alias("ts"),
+    ).dropDuplicates(["user_id", "event_type", "ts"])
+    feats = ev.select("user_id", "event_type", F.col("ts").alias("ets"), "value")
+    out = asof_join(
+        probes, feats, by=["user_id", "event_type"], left_on="ts",
+        right_on="ets", ttl=timedelta(seconds=PIT_TTL_S), strategy="union",
+        include_event_ts=True, event_ts_name="event_ts",
+    )
+    return out.select(
+        "user_id", "event_type", "ts",
+        F.round("value", 6).alias("value"), "event_ts",
+    )
+
+
+def _stream_events(spark, sf_dir):
+    """events → temp parquet → file stream (the sandbox Kafka stand-in)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    d = tempfile.mkdtemp(prefix="fs_strm_")
+    src = os.path.join(d, "src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    return stream, d
+
+
+def _run_stream_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def q_stream_tumbling_day(spark, sf_dir):
+    """T2 driver-verified: a REAL Structured Streaming run (availableNow
+    → memory sink) of the tumbling-window aggregation; the emitted
+    result must equal the batch SQL (streaming/pipeline.py
+    tumbling_counts)."""
+    import uuid
+
+    from feast_spark.streaming.pipeline import tumbling_counts
+
+    stream, _d = _stream_events(spark, sf_dir)
+    agg = tumbling_counts(
+        stream, ts_col="ts", key="event_type", window="1 day", watermark="1 hour"
+    )
+    out = _run_stream_to_memory(agg, "t" + uuid.uuid4().hex[:12])
+    return out.select("w_start", "w_end", "event_type", "n")
+
+
+def q_stream_sessions(spark, sf_dir):
+    """T3 driver-verified: native session_window gap sessionization as an
+    actual streaming job, checked against the window-SQL session oracle
+    (streaming/pipeline.py session_windows)."""
+    import uuid
+
+    from feast_spark.streaming.pipeline import session_windows
+
+    stream, _d = _stream_events(spark, sf_dir)
+    sess = session_windows(
+        stream, key="user_id", ts_col="ts", gap="30 minutes", watermark="1 hour"
+    )
+    out = _run_stream_to_memory(sess, "s" + uuid.uuid4().hex[:12])
+    return out.select("user_id", "sess_start", "sess_end", "n_events")
+
+
+def q_stream_online_upsert(spark, sf_dir):
+    """T4 driver-verified: foreachBatch latest-per-key upsert into the
+    bucketed serving store from a stream, then a full store read — the
+    streaming serving path must equal the batch latest-per-key SQL
+    (streaming/pipeline.py stream_latest_to_online)."""
+    import tempfile
+
+    from feast_spark.materialize import read_online
+    from feast_spark.streaming.pipeline import stream_latest_to_online
+
+    stream, d = _stream_events(spark, sf_dir)
+    dest = os.path.join(d, "store")
+    q = stream_latest_to_online(
+        stream, dest, key="user_id", ts_col="ts", n_buckets=8,
+        checkpoint=os.path.join(d, "ckpt"),
+        transform=lambda df: df.select("user_id", "ts", "value"),
+    )
+    q.awaitTermination()
+    return read_online(spark, dest).select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -1217,6 +1322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_decode": q_kafka_decode,
         "odfv_transform": q_odfv_transform,
         "layout_compact_roundtrip": q_layout_compact_roundtrip,
+        "pit_composite_key": q_pit_composite_key,
+        "stream_tumbling_day": q_stream_tumbling_day,
+        "stream_sessions": q_stream_sessions,
+        "stream_online_upsert": q_stream_online_upsert,
     }
 
 
@@ -1243,6 +1352,64 @@ def _oracles() -> dict[str, str]:
             SELECT p.user_id, p.ts, round(f.value, 6) AS value, f.ts AS event_ts
             FROM probes p ASOF LEFT JOIN events f
               ON p.user_id = f.user_id AND p.ts >= f.ts
+        """,
+        "pit_composite_key": f"""
+            WITH probes AS (
+              SELECT DISTINCT user_id, event_type,
+                     ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 7 = 0
+            ),
+            j AS (
+              SELECT p.user_id, p.event_type, p.ts, f.value, f.ts AS event_ts
+              FROM probes p ASOF LEFT JOIN events f
+                ON p.user_id = f.user_id AND p.event_type = f.event_type
+               AND p.ts >= f.ts
+            )
+            SELECT user_id, event_type, ts,
+                   CASE WHEN event_ts >= ts - INTERVAL {PIT_TTL_S} SECONDS
+                        THEN round(value, 6) END AS value,
+                   CASE WHEN event_ts >= ts - INTERVAL {PIT_TTL_S} SECONDS
+                        THEN event_ts END AS event_ts
+            FROM j
+        """,
+        "stream_tumbling_day": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP)
+                     + INTERVAL 1 DAY AS w_end,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "stream_sessions": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch_us(ts)/1000000.0
+                               - lag(epoch_us(ts)/1000000.0)
+                                 OVER (PARTITION BY user_id ORDER BY ts)
+                               >= 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             IS NULL
+                          THEN 1 ELSE 0 END AS boundary
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sess_id
+              FROM g
+            )
+            SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "stream_online_upsert": """
+            SELECT user_id, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         "odfv_transform": f"""
             WITH probes AS (

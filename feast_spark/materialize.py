@@ -61,6 +61,11 @@ class MaterializeJob:
         # micro-batches whose event-time bounds collide
         self.lineage_tag = lineage_tag
 
+        if len(getattr(view, "join_keys", [None])) > 1:
+            raise NotImplementedError(
+                "materialization requires a single-entity view; composite "
+                "keys are supported in historical retrieval only"
+            )
         src = view.source
         self._layout_root = (
             str(src)

@@ -61,7 +61,7 @@ def asof_join(
     probes: DataFrame,
     features: DataFrame,
     *,
-    by: str = "url",
+    by: str | list[str] = "url",
     left_on: str = "ts",
     right_on: str = "warc_ts",
     ttl: timedelta | int | None = None,
@@ -73,9 +73,14 @@ def asof_join(
     n_buckets: int | None = None,
 ) -> DataFrame:
     """Dispatch to a PIT-join strategy. Output = all probe columns +
-    ``feature_cols`` (+ the matched event ts if ``include_event_ts``)."""
+    ``feature_cols`` (+ the matched event ts if ``include_event_ts``).
+
+    ``by`` may be a list for composite entity keys (upstream: a view
+    referencing several entities joins on all their keys); every
+    strategy treats the tuple as one logical key."""
+    by = [by] if isinstance(by, str) else list(by)
     if feature_cols is None:
-        skip = {by, right_on}
+        skip = {*by, right_on}
         if created_col:
             skip.add(created_col)
         feature_cols = [c for c in features.columns if c not in skip]
@@ -111,7 +116,7 @@ def _asof_union_window(
     probes: DataFrame,
     features: DataFrame,
     *,
-    by: str,
+    by: list[str],
     left_on: str,
     right_on: str,
     ttl: float | None,
@@ -133,7 +138,7 @@ def _asof_union_window(
         F.col(created_col) if created_col else F.lit(None).cast("timestamp")
     )
     ev = features.select(
-        F.col(by).alias(by),
+        *[F.col(c).alias(c) for c in by],
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_probe"),
         created.alias("__created"),
@@ -150,7 +155,7 @@ def _asof_union_window(
     # within a url: order by ts; at equal ts events (0) precede probes (1);
     # among equal-ts events ascending (created, hash) so last-wins = max
     w = (
-        Window.partitionBy(by)
+        Window.partitionBy(*by)
         .orderBy(
             F.col("__t").asc(),
             F.col("__is_probe").asc(),
@@ -183,7 +188,7 @@ def _asof_broadcast(
     probes: DataFrame,
     features: DataFrame,
     *,
-    by: str,
+    by: list[str],
     left_on: str,
     right_on: str,
     ttl: float | None,
@@ -196,11 +201,11 @@ def _asof_broadcast(
     probe. The big (features) side is scanned once, never shuffled on a
     new key: the window partitions by (by, ts) which the join already
     co-located."""
-    p = probes.select(by, left_on).distinct().alias("p")
+    p = probes.select(*by, left_on).distinct().alias("p")
     f = features.alias("f")
-    cond = (F.col(f"p.{by}") == F.col(f"f.{by}")) & (
-        F.col(f"f.{right_on}") <= F.col(f"p.{left_on}")
-    )
+    cond = F.col(f"f.{right_on}") <= F.col(f"p.{left_on}")
+    for k in by:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"f.{k}"))
     if ttl is not None:
         cond = cond & (
             F.col(f"f.{right_on}").cast("double")
@@ -210,7 +215,9 @@ def _asof_broadcast(
     created = (
         F.col(f"f.{created_col}") if created_col else F.lit(None).cast("timestamp")
     )
-    w = Window.partitionBy(F.col(f"p.{by}"), F.col(f"p.{left_on}")).orderBy(
+    w = Window.partitionBy(
+        *[F.col(f"p.{k}") for k in by], F.col(f"p.{left_on}")
+    ).orderBy(
         F.col(f"f.{right_on}").desc(),
         created.desc_nulls_last(),
         _tiebreak_hash(f, [f"f.{c}" for c in feature_cols]).desc_nulls_last(),
@@ -223,13 +230,13 @@ def _asof_broadcast(
         j.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
-            F.col(f"p.{by}").alias(by),
+            *[F.col(f"p.{k}").alias(k) for k in by],
             F.col(f"p.{left_on}").alias(left_on),
             *[F.col(f"f.{c}").alias(c) for c in feature_cols],
             F.col(f"f.{right_on}").alias(ets_alias),
         )
     )
-    out = probes.join(F.broadcast(best), on=[by, left_on], how="left")
+    out = probes.join(F.broadcast(best), on=[*by, left_on], how="left")
     if not include_event_ts:
         out = out.drop("__asof_ets_tmp")
     return out
@@ -240,7 +247,7 @@ def _asof_cogroup(
     probes: DataFrame,
     features: DataFrame,
     *,
-    by: str,
+    by: list[str],
     left_on: str,
     right_on: str,
     ttl: float | None,
@@ -261,9 +268,11 @@ def _asof_cogroup(
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
 
-    bucket = F.pmod(F.xxhash64(F.col(by)), F.lit(n_buckets)).alias("__b")
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in by]), F.lit(n_buckets)
+    ).alias("__b")
     pb = probes.withColumn("__b", bucket)
-    fsel = [by, right_on, *feature_cols] + ([created_col] if created_col else [])
+    fsel = [*by, right_on, *feature_cols] + ([created_col] if created_col else [])
     # tiebreak hash computed JVM-side with the SAME xxhash64 as J1/J2 so
     # all three strategies are bit-identical on (ts, created) ties.
     # Columns are re-aliased: when probes and features share lineage,

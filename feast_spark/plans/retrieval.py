@@ -182,9 +182,12 @@ def plan_retrieval(
                 }
             )
         if fv.layout_root:
-            # bucket pruning for small probe sets (point-lookup shape)
-            kcol = fv.entity.join_key
-            if kcol not in probe_keys_by_col:
+            # bucket pruning for small probe sets (point-lookup shape);
+            # the layout buckets on ONE column — prune only when that
+            # column is among the view's join keys (always true for
+            # single-entity views)
+            kcol = snap["key_col"]
+            if kcol in fv.join_keys and kcol not in probe_keys_by_col:
                 sample = (
                     entity_df.select(kcol).distinct()
                     .limit(BUCKET_PRUNE_PROBE_ROWS + 1).collect()
@@ -194,7 +197,7 @@ def plan_retrieval(
                     if len(sample) <= BUCKET_PRUNE_PROBE_ROWS
                     else []  # too many: skip bucket pruning
                 )
-            if probe_keys_by_col[kcol]:
+            if probe_keys_by_col.get(kcol):
                 # manifest pruning always uses the LAYOUT's modulus, not
                 # the (possibly grown) cogroup repartition count
                 src_kw["buckets"] = buckets_of_keys(
@@ -208,7 +211,7 @@ def plan_retrieval(
         joined = asof_join(
             out,
             src,
-            by=fv.entity.join_key,
+            by=fv.join_keys,
             left_on="ts",
             right_on=fv.timestamp_field,
             ttl=fv.ttl,

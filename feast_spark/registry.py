@@ -46,13 +46,23 @@ class FeatureView:
     """
 
     name: str
-    entity: Entity
+    entity: Entity | list[Entity]  # a list = composite key (multi-entity view)
     source: str | Callable[[SparkSession], DataFrame]
     features: list[FeatureSpec]
     ttl: timedelta | None = None
     timestamp_field: str = "warc_ts"
     created_timestamp_column: str | None = None
     field_mapping: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def entities(self) -> "list[Entity]":
+        return self.entity if isinstance(self.entity, list) else [self.entity]
+
+    @property
+    def join_keys(self) -> list[str]:
+        """All entity join keys (upstream: a view referencing several
+        entities joins on every key)."""
+        return [e.join_key for e in self.entities]
 
     @property
     def layout_root(self) -> str | None:
@@ -186,9 +196,15 @@ class FeatureStore:
             with open(self._registry_path) as f:
                 meta = json.load(f)
             for v in meta.get("views", []):
+                ent_blob = v["entity"]
+                ent = (
+                    [Entity(**e) for e in ent_blob]
+                    if isinstance(ent_blob, list)
+                    else Entity(**ent_blob)
+                )
                 fv = FeatureView(
                     name=v["name"],
-                    entity=Entity(**v["entity"]),
+                    entity=ent,
                     source=v["source"],
                     features=[FeatureSpec(**s) for s in v["features"]],
                     ttl=timedelta(seconds=v["ttl_s"]) if v.get("ttl_s") else None,
@@ -215,7 +231,11 @@ class FeatureStore:
             views.append(
                 {
                     "name": fv.name,
-                    "entity": fv.entity.__dict__,
+                    "entity": (
+                        [e.__dict__ for e in fv.entity]
+                        if isinstance(fv.entity, list)
+                        else fv.entity.__dict__
+                    ),
                     "source": fv.source,
                     "features": [s.__dict__ for s in fv.features],
                     "ttl_s": fv.ttl.total_seconds() if fv.ttl else None,
@@ -260,7 +280,7 @@ class FeatureStore:
         df = view.load(self.spark)
         have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         missing = []
-        for col in [view.entity.join_key, view.timestamp_field] + (
+        for col in [*view.join_keys, view.timestamp_field] + (
             [view.created_timestamp_column] if view.created_timestamp_column else []
         ):
             if col not in have:

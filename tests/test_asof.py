@@ -189,3 +189,43 @@ def test_created_ts_tiebreak(spark):
             created_col="created", strategy=s,
         ).toPandas()
         assert out["v"].tolist() == [2.0], f"strategy {s}"
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast", "cogroup"])
+def test_composite_key_asof(spark, strategy):
+    """by=[k1, k2]: the tuple is one logical key in every strategy —
+    matches never cross (user, type) boundaries and equal the
+    concatenated-single-key formulation exactly."""
+    from pyspark.sql import Row
+
+    feats = spark.createDataFrame(
+        [
+            Row(u="a", t="x", ets="2023-01-01 00:00:00", v=1.0),
+            Row(u="a", t="y", ets="2023-01-02 00:00:00", v=2.0),
+            Row(u="b", t="x", ets="2023-01-03 00:00:00", v=3.0),
+            Row(u="a", t="x", ets="2023-01-04 00:00:00", v=4.0),
+        ]
+    ).withColumn("ets", F.col("ets").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [
+            Row(u="a", t="x", ts="2023-01-05 00:00:00"),
+            Row(u="a", t="y", ts="2023-01-05 00:00:00"),
+            Row(u="b", t="x", ts="2023-01-05 00:00:00"),
+            Row(u="b", t="y", ts="2023-01-05 00:00:00"),  # no features
+            Row(u="a", t="x", ts="2023-01-03 00:00:00"),  # before 4.0
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(
+        probes, feats, by=["u", "t"], left_on="ts", right_on="ets",
+        strategy=strategy,
+    ).toPandas().set_index(["u", "t", "ts"])["v"].to_dict()
+    want = {
+        ("a", "x", pd.Timestamp("2023-01-05")): 4.0,
+        ("a", "y", pd.Timestamp("2023-01-05")): 2.0,
+        ("b", "x", pd.Timestamp("2023-01-05")): 3.0,
+        ("a", "x", pd.Timestamp("2023-01-03")): 1.0,
+    }
+    for k, v in want.items():
+        assert out[k] == v, (strategy, k, out)
+    missing = out[("b", "y", pd.Timestamp("2023-01-05"))]
+    assert missing is None or pd.isna(missing)

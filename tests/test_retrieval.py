@@ -194,3 +194,47 @@ def test_no_ttl_retrieval_sees_stale_features(spark, tmp_path_factory):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = store.get_historical_features(probes, ["stale:n_chars"])
     assert out.filter(F.col("n_chars").isNotNull()).count() == 40
+
+
+def test_composite_entity_view_retrieval(spark, tmp_path_factory):
+    """A view referencing two entities joins on BOTH keys (upstream
+    multi-entity views); materialization of composite views is refused
+    with a clear error."""
+    from pyspark.sql import Row
+
+    src = spark.createDataFrame(
+        [
+            Row(u="a", t="x", warc_ts="2023-01-01 00:00:00", v=1.0),
+            Row(u="a", t="y", warc_ts="2023-01-02 00:00:00", v=2.0),
+            Row(u="b", t="x", warc_ts="2023-01-03 00:00:00", v=3.0),
+        ]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    d = tmp_path_factory.mktemp("comp")
+    p = str(d / "src.parquet")
+    src.write.parquet(p)
+    store = FeatureStore(spark)
+    view = FeatureView(
+        name="cv",
+        entity=[Entity("user", "u"), Entity("etype", "t")],
+        source=p,
+        features=[FeatureSpec("v", "double")],
+        ttl=None,
+        timestamp_field="warc_ts",
+    )
+    store.apply(view)
+    probes = spark.createDataFrame(
+        [Row(u="a", t="x", ts="2023-02-01 00:00:00"),
+         Row(u="a", t="y", ts="2023-02-01 00:00:00"),
+         Row(u="b", t="y", ts="2023-02-01 00:00:00")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["u"], r["t"]): r["v"]
+        for r in store.get_historical_features(probes, ["cv:v"]).collect()
+    }
+    assert out[("a", "x")] == 1.0 and out[("a", "y")] == 2.0
+    assert out[("b", "y")] is None
+
+    from feast_spark.materialize import MaterializeJob
+
+    with pytest.raises(NotImplementedError, match="single-entity"):
+        MaterializeJob(spark, view, str(d / "store"))
