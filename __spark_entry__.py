@@ -1245,6 +1245,53 @@ def q_stream_online_upsert(spark, sf_dir):
     )
 
 
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static join driver-verified: each streamed event is
+    enriched with its user's LATEST feature row from the serving store
+    (the upstream online-serving shape: stream × online store). Runs as
+    a real streaming job into a memory sink."""
+    import tempfile
+    import uuid
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+
+    # build the online store from events (latest value per user)
+    d = tempfile.mkdtemp(prefix="fs_strm_")
+    dest = os.path.join(d, "store")
+    view = FeatureView(
+        name="ev_latest",
+        entity=Entity("user_id", "user_id"),
+        source=os.path.join(sf_dir, "events.parquet"),
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=8, bucket_batch=8,
+        transform=lambda df: df.select("user_id", "ts", "value"),
+    ).run("2020-01-01", "2030-01-01")
+    latest = read_online(spark, dest).select(
+        "user_id",
+        F.col("value").alias("latest_value"),
+    )
+
+    stream, _d2 = _stream_events(spark, sf_dir)
+    enriched = stream.select("event_id", "user_id", "value").join(
+        F.broadcast(latest), "user_id", "left"
+    )
+    name = "e" + uuid.uuid4().hex[:12]
+    q = (
+        enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("latest_value", 6).alias("latest_value"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: PIT as-of retrieval (union+window) on sf0.001 events."""
     return q_pit_asof_union(spark, SF0001)
@@ -1326,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_day": q_stream_tumbling_day,
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
+        "stream_static_enrich": q_stream_static_enrich,
     }
 
 
@@ -1401,6 +1449,20 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
+        """,
+        "stream_static_enrich": """
+            WITH latest AS (
+              SELECT user_id, value AS latest_value
+              FROM (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC) AS rn
+                FROM events
+              ) WHERE rn = 1
+            )
+            SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+                   round(l.latest_value, 6) AS latest_value
+            FROM events e LEFT JOIN latest l ON e.user_id = l.user_id
         """,
         "stream_online_upsert": """
             SELECT user_id, ts, round(value, 6) AS value

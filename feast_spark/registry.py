@@ -344,14 +344,27 @@ class FeatureStore:
         return out
 
     def get_online_features(
-        self, store_path: str, keys: list[str], *, key_col: str | None = None
+        self,
+        store_path: str,
+        keys: list[str],
+        *,
+        key_col: str | None = None,
+        odfvs: list[str] | None = None,
     ) -> DataFrame:
         """Point-lookup path (upstream get_online_features): read the
-        materialized serving store pruned to the keys' buckets."""
+        materialized serving store pruned to the keys' buckets.
+        ``odfvs`` names registered on-demand views to compute on top of
+        the served rows (upstream applies ODFVs at online read too)."""
         from feast_spark.materialize import read_online
 
         kc = key_col or "url"
-        return read_online(self.spark, store_path, keys, key_col=kc)
+        out = read_online(self.spark, store_path, keys, key_col=kc)
+        for name in odfvs or []:
+            from feast_spark.operators.vectorized import on_demand_transform
+
+            odfv = self._odfvs[name]
+            out = on_demand_transform(out, odfv.transform, odfv.schema)
+        return out
 
     def materialize(self, view_name: str, start, end, dest: str, **kw):
         from feast_spark.materialize import MaterializeJob

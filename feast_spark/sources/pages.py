@@ -205,14 +205,23 @@ def _partition_of(rel_path: str) -> tuple[str, int]:
     return dt, bucket
 
 
+_STAT_STR_CAP = 64  # drop string stats longer than this (manifest bloat)
+
+
 def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict:
-    """Footer-only stats for one file (no data pages touched)."""
+    """Footer-only stats for one file (no data pages touched). Besides
+    the key/ts bounds the planner always uses, records per-column
+    min/max for EVERY leaf column with parquet statistics (Iceberg's
+    column-stats manifest) so reads can prune on arbitrary predicates
+    (``plan_files(col_ranges=...)``). Binary columns and long strings
+    are skipped — they bloat the manifest without pruning value."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
-    mins_ts, maxs_ts, mins_k, maxs_k = [], [], [], []
     schema = md.schema.to_arrow_schema()
     names = [schema.field(i).name for i in range(len(schema.names))]
+    mins: dict[str, list] = {}
+    maxs: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -221,26 +230,39 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
             if st is None or not st.has_min_max:
                 continue
             name = names[ci] if ci < len(names) else col.path_in_schema
-            if name == ts_col:
-                mins_ts.append(st.min)
-                maxs_ts.append(st.max)
-            elif name == key_col:
-                mins_k.append(st.min)
-                maxs_k.append(st.max)
+            lo, hi = st.min, st.max
+            # key/ts always keep full stats (planner + hot-key detection
+            # depend on exact values); other columns respect the cap
+            if name not in (key_col, ts_col) and (
+                isinstance(lo, bytes)
+                or (
+                    isinstance(lo, str) and (
+                        len(lo) > _STAT_STR_CAP or len(str(hi)) > _STAT_STR_CAP
+                    )
+                )
+            ):
+                continue
+            mins.setdefault(name, []).append(lo)
+            maxs.setdefault(name, []).append(hi)
     dt, bucket = _partition_of(rel_path)
 
     def _iso(v):
         return v.isoformat() if hasattr(v, "isoformat") else v
 
+    cols = {
+        name: [_iso(min(mins[name])), _iso(max(maxs[name]))]
+        for name in mins
+    }
     return {
         "path": rel_path,
         "dt": dt,
         "bucket": bucket,
         "rows": md.num_rows,
-        "min_ts": _iso(min(mins_ts)) if mins_ts else None,
-        "max_ts": _iso(max(maxs_ts)) if maxs_ts else None,
-        "min_key": min(mins_k) if mins_k else None,
-        "max_key": max(maxs_k) if maxs_k else None,
+        "min_ts": cols.get(ts_col, [None, None])[0],
+        "max_ts": cols.get(ts_col, [None, None])[1],
+        "min_key": cols.get(key_col, [None, None])[0],
+        "max_key": cols.get(key_col, [None, None])[1],
+        "cols": cols,
         "bytes": os.path.getsize(abs_path),
     }
 
@@ -485,9 +507,14 @@ def plan_files(
     start=None,
     end=None,
     buckets: set[int] | None = None,
+    col_ranges: dict | None = None,
 ) -> tuple[dict, list[dict]]:
     """Manifest pruning (S2): keep files whose ``[min_ts, max_ts]``
     overlaps ``[start, end)`` and whose bucket is in ``buckets``.
+    ``col_ranges`` maps column → (lo, hi) (either side may be None) and
+    prunes on the per-column stats — files without stats for a filtered
+    column are kept (pruning is always a superset of the true answer;
+    the caller still applies the residual filter in Spark).
     Returns (snapshot, surviving file stats)."""
     snap = (
         load_snapshot(root, snapshot)
@@ -506,8 +533,28 @@ def plan_files(
             continue
         if end_s and fstat["min_ts"] and fstat["min_ts"] >= end_s:
             continue
+        if col_ranges and not _col_ranges_overlap(fstat, col_ranges):
+            continue
         keep.append(fstat)
     return snap, keep
+
+
+def _col_ranges_overlap(fstat: dict, col_ranges: dict) -> bool:
+    cols = fstat.get("cols") or {}
+    for name, (lo, hi) in col_ranges.items():
+        if name not in cols:
+            continue  # no stats → cannot prune on this column
+        fmin, fmax = cols[name]
+        if fmin is None or fmax is None:
+            continue
+        try:
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        except TypeError:  # mixed types: keep the file
+            continue
+    return True
 
 
 def _ts_str(v) -> str | None:
@@ -526,13 +573,17 @@ def read_table(
     start=None,
     end=None,
     buckets: set[int] | None = None,
+    col_ranges: dict | None = None,
 ) -> DataFrame:
     """Manifest-pruned / time-travel scan (S2/S3). Hidden partitioning:
     the returned DataFrame carries only the table's logical columns — the
     dt/bucket directory values never surface (explicit file lists, no
-    basePath, so Spark does not project partition columns)."""
+    basePath, so Spark does not project partition columns).
+    ``col_ranges`` prunes on per-column manifest stats; the caller still
+    applies the exact predicate (pruning returns a superset)."""
     snap, files = plan_files(
-        root, snapshot=snapshot, start=start, end=end, buckets=buckets
+        root, snapshot=snapshot, start=start, end=end, buckets=buckets,
+        col_ranges=col_ranges,
     )
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     if not files:

@@ -299,3 +299,32 @@ def test_overwrite_resets_stale_snapshots(spark, pages_df, tmp_path_factory):
     layout.write_table(half2.limit(5), root, n_buckets=B, mode="append",
                        dt_granularity="month")
     assert layout.current_snapshot(root)["snapshot_id"] == 2
+
+
+def test_column_stats_pruning(spark, pages_df, tmp_path_factory):
+    """Per-column manifest stats (Iceberg column stats): a range filter
+    on a NON-key column prunes files, and pruned-scan + residual filter
+    equals the unpruned answer."""
+    root = str(tmp_path_factory.mktemp("colstats") / "t")
+    src = pages_df.select(
+        "url", "warc_ts", F.length("text").cast("long").alias("n_chars")
+    )
+    layout.write_table(src, root, n_buckets=B)
+    snap = layout.current_snapshot(root)
+    assert all("cols" in f and "n_chars" in f["cols"] for f in snap["files"])
+
+    # pick a range covering ~the top decile of n_chars
+    hi = src.agg(F.expr("percentile_approx(n_chars, 0.95)")).first()[0]
+    _, all_files = layout.plan_files(root)
+    _, pruned = layout.plan_files(root, col_ranges={"n_chars": (hi, None)})
+    assert len(pruned) < len(all_files)
+    got = (
+        layout.read_table(spark, root, col_ranges={"n_chars": (hi, None)})
+        .filter(F.col("n_chars") >= hi)
+        .count()
+    )
+    want = src.filter(F.col("n_chars") >= hi).count()
+    assert got == want
+    # unknown column / no-stats column: prune keeps everything
+    _, keep_all = layout.plan_files(root, col_ranges={"nope": (1, 2)})
+    assert len(keep_all) == len(all_files)

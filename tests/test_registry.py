@@ -169,3 +169,46 @@ def test_odfv_persists_to_registry(spark, pages_df, tmp_path_factory, data_dir):
     hit = out[out["n_chars"].notna()]
     assert len(hit) > 0
     assert (abs(hit["root_chars"] - hit["n_chars"] ** 0.5) < 1e-9).all()
+
+
+def test_get_online_features_applies_odfv(spark, pages_df, tmp_path_factory):
+    """Upstream applies on-demand transforms at online read too: the
+    served latest-per-key rows flow through the ODFV kernel."""
+    from feast_spark.materialize import MaterializeJob
+
+    d = tmp_path_factory.mktemp("onodfv")
+    src_path = str(d / "src.parquet")
+    pages_df.withColumn("n_chars", F.length("text").cast("long")).write.parquet(
+        src_path
+    )
+    dest = str(d / "store")
+    view = FeatureView(
+        name="pg",
+        entity=Entity("url", "url"),
+        source=src_path,
+        features=[FeatureSpec("n_chars", "bigint")],
+        timestamp_field="warc_ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=4, bucket_batch=4,
+        transform=lambda df: df.select("url", "warc_ts", "n_chars"),
+    ).run("2023-01-01", "2025-01-01")
+
+    store = FeatureStore(spark)
+    store.apply(view)
+    store.apply(
+        OnDemandFeatureView(
+            name="derived",
+            sources=["pg:n_chars"],
+            transform=lambda pdf: pd.DataFrame(
+                {"double_chars": pd.Series(pdf["n_chars"]) * 2}
+            ),
+            schema=[("double_chars", "bigint")],
+        )
+    )
+    urls = [r["url"] for r in pages_df.select("url").distinct().limit(5).collect()]
+    out = store.get_online_features(
+        dest, urls, key_col="url", odfvs=["derived"]
+    ).toPandas()
+    assert len(out) == len(urls)
+    assert (out["double_chars"] == 2 * out["n_chars"]).all()
