@@ -1163,6 +1163,56 @@ def q_pit_composite_key(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality features (Rae et al. 2021 §A1.1 heuristics)
+    driver-verified against a DuckDB list-function reimplementation
+    (operators/text.py gopher_quality_features)."""
+    from feast_spark.operators.text import gopher_quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_quality_features(d)
+    return out.select(
+        "doc_id",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("gopher_keep").cast("int").alias("gopher_keep"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """C4/Gopher repetition filters driver-verified: duplicate-line
+    fraction + top-bigram character fraction (operators/text.py
+    repetition_stats)."""
+    from feast_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_stats(d, n=2)
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+    )
+
+
+def q_canonical_url(spark, sf_dir):
+    """Crawl URL canonicalization driver-verified on a synthesized url
+    family (case, fragments, tracking params, unsorted query params)
+    (operators/text.py canonical_url)."""
+    from feast_spark.operators.text import canonical_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 3
+    raw = (
+        F.when(m == 0, F.concat(F.lit("HTTP://A.B/p/"), F.col("doc_id"), F.lit("#frag")))
+        .when(m == 1, F.concat(F.lit("https://C.D/x/"), F.col("doc_id"),
+                               F.lit("?utm_source=z&fbclid=1")))
+        .otherwise(F.concat(F.lit("https://E.F/q?z="), F.col("doc_id"),
+                            F.lit("&utm_campaign=x&a=2")))
+    )
+    return d.select("doc_id", canonical_url(raw).alias("curl"))
+
+
 def _stream_events(spark, sf_dir):
     """events → temp parquet → file stream (the sandbox Kafka stand-in)."""
     import tempfile
@@ -1374,6 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
+        "gopher_quality": q_gopher_quality,
+        "repetition_stats": q_repetition_stats,
+        "canonical_url": q_canonical_url,
     }
 
 
@@ -1449,6 +1502,99 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
+        """,
+        "gopher_quality": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ws,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text, '\n'), x -> trim(x)),
+                       x -> x <> '') AS lines
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     greatest(len(ws), 1) AS nw,
+                     greatest(len(lines), 1) AS nl,
+                     list_sum(list_transform(ws, x -> strlen(x))) AS wchars,
+                     len(list_filter(ws, x -> contains(x, '#')))
+                       + len(list_filter(ws, x -> contains(x, '...'))) AS nsym,
+                     len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS nalpha,
+                     len(list_filter(lines,
+                       x -> regexp_matches(x, '^[-*•]'))) AS nbullet,
+                     len(list_filter(lines, x -> suffix(x, '...'))) AS nell
+              FROM w
+            )
+            SELECT doc_id,
+                   round(COALESCE(wchars, 0) / CAST(nw AS DOUBLE), 6)
+                     AS mean_word_len,
+                   round(nsym / CAST(nw AS DOUBLE), 6) AS symbol_word_ratio,
+                   round(nalpha / CAST(nw AS DOUBLE), 6) AS alpha_word_frac,
+                   CAST(COALESCE(wchars, 0) / CAST(nw AS DOUBLE) >= 3
+                        AND COALESCE(wchars, 0) / CAST(nw AS DOUBLE) <= 10
+                        AND nsym / CAST(nw AS DOUBLE) < 0.1
+                        AND nbullet / CAST(nl AS DOUBLE) < 0.9
+                        AND nell / CAST(nl AS DOUBLE) < 0.3
+                        AND nalpha / CAST(nw AS DOUBLE) >= 0.8
+                        AS INT) AS gopher_keep
+            FROM m
+        """,
+        "repetition_stats": r"""
+            WITH l AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(
+                       regexp_split_to_array(text, '\n'), x -> trim(x)),
+                       x -> x <> '') AS lines
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, text,
+                     (len(lines) - len(list_distinct(lines)))
+                       / CAST(greatest(len(lines), 1) AS DOUBLE)
+                       AS dup_line_frac
+              FROM l
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(ws) - 1, 1) + 1),
+                       i -> array_to_string(ws[i:i+1], ' '))) AS gram
+              FROM w
+            ),
+            c AS (
+              SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram
+            ),
+            top AS (
+              SELECT doc_id, n * strlen(gram) AS topchars
+              FROM (
+                SELECT doc_id, gram, n,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY n DESC, gram DESC) AS rn
+                FROM c
+              ) WHERE rn = 1
+            )
+            SELECT b.doc_id, round(b.dup_line_frac, 6) AS dup_line_frac,
+                   round(least(COALESCE(t.topchars, 0)
+                         / greatest(CAST(strlen(b.text) AS DOUBLE), 1.0),
+                         1.0), 6) AS top_ngram_char_frac
+            FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "canonical_url": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'http://a.b/p/' || doc_id
+                     WHEN 1 THEN 'https://c.d/x/' || doc_id
+                     ELSE 'https://e.f/q?a=2&z=' || doc_id
+                   END AS curl
+            FROM documents
         """,
         "stream_static_enrich": """
             WITH latest AS (

@@ -237,3 +237,148 @@ def char_class_ratios_pandas(df: DataFrame, text_col: str = "text") -> DataFrame
         return out.astype("float64")
 
     return df.withColumn("q_punct_ratio_py", punct_ratio(F.col(text_col)))
+
+
+# ---------------------------------------------------------- Gopher --------
+
+
+def gopher_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules (public heuristics from Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", §A1.1 — re-derived
+    as JVM higher-order functions; no Python in the path).
+
+    Adds: mean_word_len, symbol_word_ratio (# and ... per word),
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, and the
+    combined ``gopher_keep`` flag with the published thresholds
+    (3 ≤ mean word length ≤ 10, symbol ratio < 0.1, < 90% bullet lines,
+    < 30% ellipsis-ending lines, ≥ 80% words with an alphabetic char).
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.size(F.filter(words, lambda w: w.contains("#")))
+    n_ellipsis_w = F.size(F.filter(words, lambda w: w.contains("...")))
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ell_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    out = df.withColumns(
+        {
+            "mean_word_len": total_word_chars / n_words.cast("double"),
+            "symbol_word_ratio": (n_hash + n_ellipsis_w) / n_words.cast("double"),
+            "bullet_line_frac": bullet / n_lines.cast("double"),
+            "ellipsis_line_frac": ell_lines / n_lines.cast("double"),
+            "alpha_word_frac": alpha / n_words.cast("double"),
+        }
+    )
+    keep = (
+        (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, n: int = 2
+) -> DataFrame:
+    """Repetition signals used by C4/Gopher-class filters (Raffel et al.
+    2020; Rae et al. 2021): duplicate-line fraction (per doc, pure
+    higher-order fns) and the character fraction covered by the most
+    frequent word n-gram (explode → per-doc top count → join back — the
+    groupBy is on (doc, gram) so it map-side combines; no Python)."""
+    c = F.col(text_col)
+    lines = F.filter(
+        # NB: passing F.trim directly to transform would bind the element
+        # INDEX as trim's second (trim-chars) parameter — lambda keeps
+        # the unary form
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / n_lines.cast("double")
+    )
+    base = df.withColumn("dup_line_frac", dup_line_frac)
+
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    )
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    ex = base.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    top = (
+        ex.groupBy(id_col, "__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.struct("__n", "__g"), F.struct("__n", "__g")).alias("__t"),
+            F.sum("__n").alias("__total"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__t.__n") * F.length("__t.__g")).alias("__topchars"),
+            "__total",
+        )
+    )
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_ngram_char_frac",
+            F.least(
+                F.coalesce(
+                    F.col("__topchars")
+                    / F.greatest(F.length(c).cast("double"), F.lit(1.0)),
+                    F.lit(0.0),
+                ),
+                # overlapping repeats can push the raw ratio past 1;
+                # clamp — anything at 1.0 is already maximal repetition
+                F.lit(1.0),
+            ),
+        )
+        .drop("__topchars", "__total")
+    )
+
+
+# -------------------------------------------------------------- URL --------
+
+_TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def canonical_url(col: str | Column = "url") -> Column:
+    """Canonical URL for web-scale dedup (standard crawl normalization):
+    lowercase scheme+host, strip the fragment, drop known tracking
+    parameters (utm_*, fbclid, gclid, ...), sort surviving query params,
+    and omit the '?' when none survive. Pure JVM expressions — runs
+    inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    head = F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    lowered_head = F.lower(head)
+    path_q = F.regexp_replace(no_frag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    path = F.regexp_replace(path_q, r"\?.*$", "")
+    query = F.when(
+        path_q.contains("?"), F.regexp_replace(path_q, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        F.length(canon_q) > 0,
+        F.concat(lowered_head, path, F.lit("?"), canon_q),
+    ).otherwise(F.concat(lowered_head, path))

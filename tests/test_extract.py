@@ -157,3 +157,51 @@ def test_fast_path_equals_htmlparser():
     for _ in range(800):
         doc = "".join(rng.choice(toks) for _ in range(rng.randint(0, 30)))
         assert extract_text(doc) == _slow_extract(doc), repr(doc)
+
+
+def test_gopher_rules_and_repetition(spark):
+    """Semantic checks on the Gopher/C4 quality signals: planted garbage
+    fails the specific rule it violates; clean prose passes all."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import (
+        gopher_quality_features,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="- one\n- two\n- three\n- four"),   # all bullets
+            Row(doc_id=3, text="a b c d e f g h i j"),              # 1-char words
+            Row(doc_id=4, text="### ## # #tag #x #y"),              # symbol soup
+            Row(doc_id=5, text="line\nline\nline\nother"),          # dup lines
+            Row(doc_id=6, text="spam spam spam spam spam spam"),    # repeated gram
+        ]
+    )
+    g = {r["doc_id"]: r for r in gopher_quality_features(docs).collect()}
+    assert g[1]["gopher_keep"] is True
+    assert g[2]["bullet_line_frac"] == 1.0 and g[2]["gopher_keep"] is False
+    assert g[3]["mean_word_len"] == 1.0 and g[3]["gopher_keep"] is False
+    assert g[4]["symbol_word_ratio"] > 0.5 and g[4]["gopher_keep"] is False
+
+    r = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert r[5]["dup_line_frac"] == 0.5
+    assert r[6]["top_ngram_char_frac"] == 1.0  # clamped overlap
+    assert r[1]["top_ngram_char_frac"] < 0.3
+
+
+def test_canonical_url_normalization(spark):
+    from feast_spark.operators.text import canonical_url
+
+    cases = [
+        ("HTTPS://Example.COM/Path?utm_source=x&b=2&a=1#frag",
+         "https://example.com/Path?a=1&b=2"),
+        ("http://a.b/c", "http://a.b/c"),
+        ("http://a.b/c?utm_campaign=z&gclid=1", "http://a.b/c"),
+        ("http://a.b/c?z=9&fbclid=123&y=8", "http://a.b/c?y=8&z=9"),
+        ("http://A.B/", "http://a.b/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["cu"] for r in df.select(canonical_url("url").alias("cu")).collect()]
+    assert got == [w for _, w in cases]
