@@ -1213,6 +1213,36 @@ def q_canonical_url(spark, sf_dir):
     return d.select("doc_id", canonical_url(raw).alias("curl"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub driver-verified: plant an email/IP/phone per doc, redact
+    with the JVM regexp chain, compare against DuckDB's RE2 applying the
+    SAME patterns (operators/text.py redact_pii)."""
+    from feast_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+        F.lit(" call +1 555 01"), (F.col("doc_id") % 90) + 10, F.lit(" now"),
+    )
+    return d.select(
+        "doc_id", redact_pii(planted).alias("clean")
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination driver-verified: 13-gram overlap of the
+    corpus against a held-out 'benchmark' slice (GPT-3 appendix-C
+    recipe; operators/text.py ngram_contamination)."""
+    from feast_spark.operators.text import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 20)
+    out = ngram_contamination(docs, bench, n=13)
+    return out.select("doc_id", "n_hits")
+
+
 def _stream_events(spark, sf_dir):
     """events → temp parquet → file stream (the sandbox Kafka stand-in)."""
     import tempfile
@@ -1424,6 +1454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
+        "pii_redact": q_pii_redact,
+        "contamination": q_contamination,
         "gopher_quality": q_gopher_quality,
         "repetition_stats": q_repetition_stats,
         "canonical_url": q_canonical_url,
@@ -1502,6 +1534,44 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com'
+                          || ' from 10.0.' || (doc_id % 256) || '.7'
+                          || ' call +1 555 01' || ((doc_id % 90) + 10)
+                          || ' now' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\b\+?\d[\d -]{7,14}\d\b', '<PHONE>', 'g') AS clean
+            FROM planted
+        """,
+        "contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(ws) - 12, 1) + 1),
+                       i -> array_to_string(ws[i:i+12], ' '))) AS gram
+              FROM w
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+            SELECT g.doc_id, count(*) AS n_hits
+            FROM g JOIN bench USING (gram)
+            GROUP BY g.doc_id
         """,
         "gopher_quality": r"""
             WITH w AS (

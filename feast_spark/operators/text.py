@@ -382,3 +382,61 @@ def canonical_url(col: str | Column = "url") -> Column:
         F.length(canon_q) > 0,
         F.concat(lowered_head, path, F.lit("?"), canon_q),
     ).otherwise(F.concat(lowered_head, path))
+
+
+# -------------------------------------------------------------- PII --------
+
+# deliberately simple, RE2-compatible patterns (work identically in Java
+# regex and DuckDB's RE2 — the oracle runs both) — production swaps in a
+# vetted PII library; the pipeline shape (pure JVM regexp_replace chain,
+# codegen'd) is the point
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Standard web-pipeline PII scrub: emails, IPv4 addresses, and
+    phone-shaped digit runs replaced with typed placeholders. A chain of
+    JVM ``regexp_replace`` — no Python, whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in _PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+# ---------------------------------------------------- decontamination ------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the public GPT-3
+    appendix-C recipe: drop training docs sharing any 13-gram with an
+    eval set). Corpus n-grams are hashed (xxhash64) and equi-joined
+    against the benchmark's distinct n-gram hashes — the benchmark side
+    is small and broadcasts, so the corpus is scanned once with zero
+    corpus-side shuffle besides the final per-doc count. Returns one row
+    per contaminated doc: (id, n_hits)."""
+    def gram_hashes(df, keep_id):
+        c = F.col(text_col)
+        words = F.filter(F.split(F.lower(c), r"\s+"), lambda w: w != "")
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+        )
+        grams = F.transform(
+            starts, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n)))
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(F.array_distinct(grams)).alias("__gh"))
+
+    bench = gram_hashes(benchmark, keep_id=False).distinct()
+    hits = gram_hashes(corpus, keep_id=True).join(F.broadcast(bench), "__gh")
+    return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -205,3 +205,49 @@ def test_canonical_url_normalization(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["cu"] for r in df.select(canonical_url("url").alias("cu")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_pii_redaction_semantics(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            Row(t="mail me at jo.doe+x@sub.example.org please"),
+            Row(t="server at 192.168.0.1 and 8.8.8.8"),
+            Row(t="call +1 555 0123 456 today"),
+            Row(t="no pii here at all"),
+        ]
+    )
+    got = [r["c"] for r in df.select(redact_pii("t").alias("c")).collect()]
+    assert got[0] == "mail me at <EMAIL> please"
+    assert got[1] == "server at <IP> and <IP>"
+    assert "<PHONE>" in got[2] and "555" not in got[2]
+    assert got[3] == "no pii here at all"
+
+
+def test_contamination_planted_overlap(spark):
+    """A corpus doc embedding a benchmark 13-gram is flagged; disjoint
+    docs are not; the benchmark side broadcasts (plan check)."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import ngram_contamination
+
+    bench_text = " ".join(f"b{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x " + " ".join(f"b{i}" for i in range(13)) + " y"),
+            Row(doc_id=2, text=" ".join(f"c{i}" for i in range(30))),
+            Row(doc_id=3, text=bench_text),
+        ]
+    )
+    bench = spark.createDataFrame([Row(doc_id=99, text=bench_text)])
+    out = ngram_contamination(corpus, bench, n=13)
+    hits = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    assert hits[3] == 8  # 20 words -> 8 distinct 13-grams, all shared
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
