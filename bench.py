@@ -202,7 +202,15 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("feast_spark_bench", cores=CPUS)
+    spark = get_spark(
+        "feast_spark_bench",
+        cores=CPUS,
+        # html-heavy tables + Python-bound extraction: 16 MiB input
+        # splits remove the 2-wave task imbalance at 32 cores (measured
+        # ~20% on the pages pipeline — BENCH/BASELINE.md; the cluster
+        # equivalent is sizing maxPartitionBytes to ~4 tasks/core-wave)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
 
     qs = entrymod.queries()
