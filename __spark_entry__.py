@@ -1213,6 +1213,39 @@ def q_canonical_url(spark, sf_dir):
     return d.select("doc_id", canonical_url(raw).alias("curl"))
 
 
+def q_layout_upsert(spark, sf_dir):
+    """Copy-on-write row-level MERGE driver-verified: every 10th event's
+    value is doubled via upsert_table (replace on (user_id, ts)), one
+    synthetic row appended, one deleted; the final table must equal the
+    SQL reconstruction (sources/pages.py upsert_table)."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev, root, key_col="user_id", ts_col="ts", n_buckets=8,
+        dt_granularity="month",
+    )
+    updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    extra = spark.range(1).select(
+        F.lit(-1).alias("event_id"),
+        F.lit(99999).alias("user_id"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(1.5).alias("value"),
+    )
+    layout.upsert_table(spark, root, updates.unionByName(extra))
+    layout.upsert_table(spark, root, extra, delete=True)
+    return layout.read_table(spark, root).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub driver-verified: plant an email/IP/phone per doc, redact
     with the JVM regexp chain, compare against DuckDB's RE2 applying the
@@ -1454,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
+        "layout_upsert": q_layout_upsert,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "gopher_quality": q_gopher_quality,
@@ -1534,6 +1568,12 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
+        """,
+        "layout_upsert": """
+            SELECT event_id, user_id, ts,
+                   round(CASE WHEN event_id % 10 = 0 THEN value * 2
+                         ELSE value END, 6) AS value
+            FROM events
         """,
         "pii_redact": r"""
             WITH planted AS (

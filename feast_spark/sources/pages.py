@@ -178,10 +178,10 @@ def write_table(
 def _list_data_files(root: str) -> list[str]:
     """Relative paths of all parquet data files under root/data.
     Skips hidden/temporary entries (Spark ``_temporary``, ``.crc``) and
-    ``compact-*`` files — compaction outputs are only ever referenced
-    via the snapshot that committed them, so a crash between compaction
-    write and commit leaves orphans that must NOT be swept into a later
-    append's snapshot (they would duplicate the uncompacted rows)."""
+    ``compact-*`` / ``upsert-*`` files — compaction and upsert outputs
+    are only ever referenced via the snapshot that committed them, so a
+    crash between their write and commit leaves orphans that must NOT be
+    swept into a later append's snapshot (they would duplicate rows)."""
     data_path = os.path.join(root, DATA_DIR)
     out = []
     for dirpath, dirs, files in os.walk(data_path):
@@ -189,7 +189,7 @@ def _list_data_files(root: str) -> list[str]:
         for f in files:
             if (
                 f.endswith(".parquet")
-                and not f.startswith((".", "_", "compact-"))
+                and not f.startswith((".", "_", "compact-", "upsert-"))
             ):
                 out.append(os.path.relpath(os.path.join(dirpath, f), root))
     return sorted(out)
@@ -644,3 +644,150 @@ def list_lineage(root: str) -> list[dict]:
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
+
+
+# ------------------------------------------------------------- upsert ------
+
+
+def upsert_table(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    *,
+    delete: bool = False,
+) -> int:
+    """Copy-on-write row-level MERGE (Iceberg's copy-on-write write mode,
+    re-derived): rows in ``updates`` REPLACE existing rows sharing the
+    same (key, ts) and append otherwise; with ``delete=True`` the
+    (key, ts) pairs in ``updates`` are removed instead.
+
+    Scale shape: only the buckets containing updated keys are rewritten
+    — the manifest locates them without scanning (pmod(xxhash64(key), B)
+    of the distinct update keys, collected driver-side, bounded by B);
+    unaffected files carry over into the new snapshot untouched. Old
+    files stay on disk for time travel until ``expire_snapshots``.
+    Single-writer, like every commit here. Returns the new snapshot id.
+    """
+    snap = current_snapshot(root)
+    if snap is None:
+        raise FileNotFoundError(f"no table at {root}")
+    key_col, ts_col = snap["key_col"], snap["ts_col"]
+    n_buckets = snap["n_buckets"]
+    gran = snap.get("dt_granularity", "day")
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+
+    updates = updates.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if not delete:
+        missing = [f.name for f in schema.fields if f.name not in updates.columns]
+        if missing:
+            raise ValueError(f"updates missing table columns: {missing}")
+    # normalize update columns to the TABLE's types before hashing: an
+    # int literal key hashes differently from the table's bigint under
+    # xxhash64, which would silently rewrite the wrong bucket
+    types = {f.name: f.dataType for f in schema.fields}
+    updates = updates.select(
+        *[
+            F.col(c).cast(types[c]).alias(c) if c in types else F.col(c)
+            for c in updates.columns
+        ]
+    )
+
+    affected = {
+        r["b"]
+        for r in updates.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    }
+    keep_files = [f for f in snap["files"] if f["bucket"] not in affected]
+    touch_files = [f for f in snap["files"] if f["bucket"] in affected]
+
+    existing = (
+        spark.read.schema(schema).parquet(
+            *[os.path.join(root, f["path"]) for f in touch_files]
+        )
+        if touch_files
+        else spark.createDataFrame([], schema)
+    )
+    existing = existing.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+    if delete:
+        merged = existing.join(
+            updates.select(key_col, ts_col).distinct(),
+            on=[key_col, ts_col],
+            how="left_anti",
+        )
+    else:
+        # SQL MERGE semantics: every matched target row takes the update
+        # payload (duplicate (key, ts) target rows keep their
+        # multiplicity, all updated); unmatched updates append. Multiple
+        # SOURCE rows per (key, ts) are rejected, as MERGE does.
+        if (
+            updates.groupBy(key_col, ts_col).count()
+            .filter(F.col("count") > 1).limit(1).count()
+        ):
+            raise ValueError("updates contain duplicate (key, ts) rows")
+        payload = [f.name for f in schema.fields if f.name not in (key_col, ts_col)]
+        u = updates.select(
+            key_col, ts_col,
+            F.lit(True).alias("__m"),
+            *[F.col(c).alias(f"__u_{c}") for c in payload],
+        )
+        replaced = existing.join(u, on=[key_col, ts_col], how="left").select(
+            key_col, ts_col,
+            *[
+                F.when(F.col("__m"), F.col(f"__u_{c}"))
+                .otherwise(F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
+        appended = updates.join(
+            existing.select(key_col, ts_col).distinct(),
+            on=[key_col, ts_col], how="left_anti",
+        ).select(key_col, ts_col, *payload)
+        cols = [f.name for f in schema.fields]
+        merged = replaced.select(*cols).unionByName(appended.select(*cols))
+
+    # stage the rewrite OUTSIDE data/, then move files in under
+    # ``upsert-<snap>-*`` names (which _list_data_files ignores) — a
+    # crash before commit leaves inert orphans, never files a later
+    # append could mistake for its own and double-register
+    new_snap_id = snap["snapshot_id"] + 1
+    stage = os.path.join(root, "_staging", f"upsert-{new_snap_id:06d}")
+    staged = (
+        merged.withColumn("dt", dt_expr(ts_col, gran))
+        .withColumn("bucket", bucket_expr(key_col, n_buckets))
+        .repartition("dt", "bucket")
+        .sortWithinPartitions("dt", "bucket", key_col, ts_col)
+    )
+    staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(stage)
+
+    new_paths: list[str] = []
+    seq = 0
+    for dirpath, dirs, files in os.walk(stage):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for fname in sorted(files):
+            if not fname.endswith(".parquet") or fname.startswith((".", "_")):
+                continue
+            rel_dir = os.path.relpath(dirpath, stage)  # dt=.../bucket=...
+            dest_dir = os.path.join(root, DATA_DIR, rel_dir)
+            os.makedirs(dest_dir, exist_ok=True)
+            rel = os.path.join(
+                DATA_DIR, rel_dir, f"upsert-{new_snap_id:06d}-{seq:04d}.parquet"
+            )
+            os.replace(os.path.join(dirpath, fname), os.path.join(root, rel))
+            new_paths.append(rel)
+            seq += 1
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    new_stats = _collect_stats_local(root, new_paths, key_col, ts_col)
+    new_snap = {
+        **snap,
+        "snapshot_id": new_snap_id,
+        "parent": snap["snapshot_id"],
+        "committed_at": time.time(),
+        "operation": "delete" if delete else "upsert",
+        "files": sorted(keep_files + new_stats, key=lambda s: s["path"]),
+    }
+    _commit_snapshot(root, new_snap)
+    return new_snap["snapshot_id"]

@@ -328,3 +328,57 @@ def test_column_stats_pruning(spark, pages_df, tmp_path_factory):
     # unknown column / no-stats column: prune keeps everything
     _, keep_all = layout.plan_files(root, col_ranges={"nope": (1, 2)})
     assert len(keep_all) == len(all_files)
+
+
+def test_upsert_copy_on_write(spark, pages_df, tmp_path_factory):
+    """Row-level MERGE: rows sharing (key, ts) are replaced, new rows
+    append, UNAFFECTED buckets' files carry over untouched, and time
+    travel still sees the pre-upsert data."""
+    root = str(tmp_path_factory.mktemp("ups") / "t")
+    src = pages_df.select(
+        "url", "warc_ts", F.length("text").cast("long").alias("n_chars")
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    layout.write_table(src, root, n_buckets=8, dt_granularity="month")
+    before = layout.current_snapshot(root)
+    n0 = layout.read_table(spark, root).count()
+
+    one_url = src.select("url").first()["url"]
+    updates = src.filter(F.col("url") == one_url).withColumn(
+        "n_chars", F.col("n_chars") * 10
+    )
+    n_upd = updates.count()
+    assert n_upd > 0
+    new_rows = updates.limit(1).select(
+        F.lit("https://brand.new/page").alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(7).cast("long").alias("n_chars"),
+    )
+    sid = layout.upsert_table(spark, root, updates.unionByName(new_rows))
+    after = layout.current_snapshot(root)
+    assert after["snapshot_id"] == sid and after["operation"] == "upsert"
+
+    df = layout.read_table(spark, root)
+    assert df.count() == n0 + 1  # replacements + one new row
+    got = df.filter(F.col("url") == one_url).select("n_chars")
+    want = src.filter(F.col("url") == one_url).select(
+        (F.col("n_chars") * 10).alias("n_chars")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert df.filter(F.col("url") == "https://brand.new/page").count() == 1
+
+    # unaffected buckets: identical file paths carried over
+    buckets = layout.buckets_of_keys(spark, [one_url, "https://brand.new/page"], 8)
+    keep_before = {f["path"] for f in before["files"] if f["bucket"] not in buckets}
+    keep_after = {f["path"] for f in after["files"] if f["bucket"] not in buckets}
+    assert keep_before == keep_after and keep_before
+    # time travel: pre-upsert snapshot unchanged
+    assert layout.read_table(
+        spark, root, snapshot=before["snapshot_id"]
+    ).count() == n0
+
+    # delete the new row
+    layout.upsert_table(spark, root, new_rows, delete=True)
+    assert layout.read_table(spark, root).filter(
+        F.col("url") == "https://brand.new/page"
+    ).count() == 0
+    assert layout.read_table(spark, root).count() == n0
