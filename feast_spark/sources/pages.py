@@ -79,6 +79,7 @@ def write_table(
     n_buckets: int = DEFAULT_BUCKETS,
     mode: str = "overwrite",
     dt_granularity: str = "day",
+    allow_spec_evolution: bool = False,
 ) -> int:
     """Write ``df`` into the layout at ``root``; returns the committed
     snapshot id.
@@ -118,8 +119,19 @@ def write_table(
                 with open(os.path.join(meta, name)) as f:
                     prev_files.update(s["path"] for s in json.load(f)["files"])
 
+    spec_history = list(prev.get("spec_history", [])) if prev else []
     if prev and prev.get("dt_granularity", "day") != dt_granularity:
-        raise ValueError("cannot change dt_granularity on append")
+        # Iceberg partition-spec evolution: readers prune by per-file ts
+        # STATS, never by directory names, so old files keep their old
+        # dt dirs and new files use the new transform — no rewrite.
+        if not allow_spec_evolution:
+            raise ValueError(
+                "append changes dt_granularity "
+                f"({prev.get('dt_granularity', 'day')!r} -> "
+                f"{dt_granularity!r}); pass allow_spec_evolution=True "
+                "for Iceberg-style partition-spec evolution"
+            )
+        spec_history.append(prev.get("dt_granularity", "day"))
     data_path = os.path.join(root, DATA_DIR)
     staged = (
         df.withColumn("dt", dt_expr(ts_col, dt_granularity))
@@ -168,6 +180,7 @@ def write_table(
         "ts_col": ts_col,
         "n_buckets": n_buckets,
         "dt_granularity": dt_granularity,
+        "spec_history": spec_history,
         "schema": schema_json,
         "files": stats,
     }

@@ -382,3 +382,43 @@ def test_upsert_copy_on_write(spark, pages_df, tmp_path_factory):
         F.col("url") == "https://brand.new/page"
     ).count() == 0
     assert layout.read_table(spark, root).count() == n0
+
+
+def test_partition_spec_evolution(spark, pages_df, tmp_path_factory):
+    """Iceberg partition-spec evolution: an append may switch the dt
+    transform (day -> month) without rewriting old files — pruning is
+    stats-based, so reads spanning both specs stay correct."""
+    root = str(tmp_path_factory.mktemp("spec") / "t")
+    half1 = pages_df.filter(F.col("lang") != "zz").select("url", "warc_ts", "lang")
+    half2 = pages_df.filter(F.col("lang") == "zz").select("url", "warc_ts", "lang")
+    layout.write_table(half1, root, n_buckets=B, dt_granularity="day")
+    with pytest.raises(ValueError, match="spec_evolution"):
+        layout.write_table(
+            half2, root, n_buckets=B, mode="append", dt_granularity="month"
+        )
+    layout.write_table(
+        half2, root, n_buckets=B, mode="append", dt_granularity="month",
+        allow_spec_evolution=True,
+    )
+    snap = layout.current_snapshot(root)
+    assert snap["dt_granularity"] == "month" and snap["spec_history"] == ["day"]
+    n = layout.read_table(spark, root).count()
+    assert n == half1.count() + half2.count()
+    # time-range pruning still correct across both specs
+    _, pruned = layout.plan_files(root, start="2023-12-01", end="2023-12-08")
+    _, allf = layout.plan_files(root)
+    assert 0 < len(pruned) < len(allf)
+    got = (
+        layout.read_table(spark, root, start="2023-12-01", end="2023-12-08")
+        .filter((F.col("warc_ts") >= "2023-12-01") & (F.col("warc_ts") < "2023-12-08"))
+        .count()
+    )
+    want = (
+        pages_df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .filter((F.col("warc_ts") >= "2023-12-01") & (F.col("warc_ts") < "2023-12-08"))
+        .count()
+    )
+    assert got == want
+    # compaction handles mixed-spec cells independently
+    layout.compact_table(spark, root)
+    assert layout.read_table(spark, root).count() == n

@@ -228,3 +228,38 @@ def test_kafka_decode_csv_and_bad_format(spark):
     assert out[0]["url"] == "https://a.example/" and out[0]["n_chars"] == 42
     with pytest.raises(ValueError, match="value_format"):
         decode_kafka_records(df, "url string", value_format="protobuf")
+
+
+def test_stream_upsert_checkpoint_idempotent(spark, pages_df, tmp_path_factory):
+    """Re-running the availableNow stream with the SAME checkpoint
+    processes nothing new: the serving store is byte-stable (streaming
+    exactly-once via checkpoint + idempotent bucket upsert)."""
+    import os
+
+    from feast_spark.materialize import read_online
+    from feast_spark.streaming.pipeline import stream_latest_to_online
+
+    d = tmp_path_factory.mktemp("ckpt")
+    src = str(d / "src")
+    pages_df.select("url", "warc_ts", "lang").write.parquet(src)
+    dest, ckpt = str(d / "store"), str(d / "ck")
+
+    def run():
+        stream = spark.readStream.schema(
+            "url string, warc_ts timestamp, lang string"
+        ).parquet(src)
+        q = stream_latest_to_online(
+            stream, dest, key="url", ts_col="warc_ts", n_buckets=4,
+            checkpoint=ckpt,
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        map(tuple, read_online(spark, dest).select("url", "warc_ts").collect())
+    )
+    run()  # same checkpoint: no new data, store unchanged
+    second = sorted(
+        map(tuple, read_online(spark, dest).select("url", "warc_ts").collect())
+    )
+    assert first == second and len(first) > 0
