@@ -79,6 +79,12 @@ class MaterializeJob:
                 n_buckets = layout.DEFAULT_BUCKETS
         self.n_buckets = n_buckets
 
+    def _key_col(self) -> str:
+        # a one-element entity LIST is a legal view shape; dereference
+        # via join_keys so it doesn't crash on .join_key (round-2 review)
+        keys = getattr(self.view, "join_keys", None)
+        return keys[0] if keys else self.view.entity.join_key
+
     # -- source ----------------------------------------------------------
     def _input_snapshot(self) -> int | None:
         if self._layout_root:
@@ -87,7 +93,7 @@ class MaterializeJob:
 
     def _scan(self, start, end, buckets: list[int]) -> DataFrame:
         ts = self.view.timestamp_field
-        key = self.view.entity.join_key
+        key = self._key_col()
         if self._layout_root:
             # manifest-pruned read: only files overlapping the range AND
             # belonging to this bucket batch ever reach Spark
@@ -114,7 +120,7 @@ class MaterializeJob:
     # -- one bucket batch ------------------------------------------------
     def _run_batch(self, start, end, buckets: list[int], snap_id) -> dict:
         ts = self.view.timestamp_field
-        key = self.view.entity.join_key
+        key = self._key_col()
         t0 = time.monotonic()
 
         df = self._scan(start, end, buckets)
@@ -194,7 +200,7 @@ class MaterializeJob:
         write_store_meta(
             self.dest,
             n_buckets=self.n_buckets,
-            key_col=self.view.entity.join_key,
+            key_col=self._key_col(),
         )
         batches = [
             list(range(b, min(b + self.bucket_batch, self.n_buckets)))
@@ -319,7 +325,10 @@ def read_online(
         n_buckets = meta["n_buckets"]
     else:  # legacy store without metadata: best-effort inference
         n_buckets = 1 + max(int(d.split("=")[1]) for d in dirs)
-    wanted = layout.buckets_of_keys(spark, keys, n_buckets)
+    # hash probe keys with the STORE's key dtype (int vs bigint vs string
+    # all hash differently under xxhash64 — round-2 review finding)
+    key_type = spark.read.parquet(data).schema[key_col].dataType.simpleString()
+    wanted = layout.buckets_of_keys(spark, keys, n_buckets, key_type=key_type)
     paths = [
         os.path.join(data, d)
         for d in dirs

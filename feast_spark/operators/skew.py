@@ -125,9 +125,16 @@ def salted_group_agg(
             src = F.col(col)
         phase1.append(getattr(F, fn)(src).alias(p))
         phase2.append(getattr(F, merge_fn[fn])(p).alias(out))
+    # xxhash64 rejects map-typed inputs; salt from the hashable columns
+    # only (still deterministic per row content for retry safety)
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ] or [key]
     salted = df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt)),
     )
     partial = salted.groupBy(key, "__salt").agg(*phase1)
     return partial.groupBy(key).agg(*phase2)

@@ -161,7 +161,12 @@ def plan_retrieval(
                 # memory. Manifest byte stats give max bucket size for
                 # free; splitting costs layout alignment (a real shuffle
                 # instead of a B-way repartition on the precomputed id) —
-                # the right trade once a bucket won't fit.
+                # the right trade once a bucket won't fit. NOTE the bound
+                # holds for aggregate volume, not a single hot key: one
+                # key always hashes to one bucket, so a key larger than
+                # worker memory needs time-sliced handling regardless of
+                # B (cogroup's merge is linear, vs the union window's
+                # sort, which is why hot keys still route here).
                 per_bucket: dict = {}
                 for fs in snap["files"]:
                     per_bucket[fs["bucket"]] = (
@@ -198,10 +203,19 @@ def plan_retrieval(
                     else []  # too many: skip bucket pruning
                 )
             if probe_keys_by_col.get(kcol):
+                import json as _json
+
+                from pyspark.sql import types as _T
+
+                key_type = None
+                tbl_schema = _T.StructType.fromJson(_json.loads(snap["schema"]))
+                if kcol in tbl_schema.fieldNames():
+                    key_type = tbl_schema[kcol].dataType.simpleString()
                 # manifest pruning always uses the LAYOUT's modulus, not
                 # the (possibly grown) cogroup repartition count
                 src_kw["buckets"] = buckets_of_keys(
-                    store.spark, probe_keys_by_col[kcol], layout_buckets
+                    store.spark, probe_keys_by_col[kcol], layout_buckets,
+                    key_type=key_type,
                 )
         src = fv.load(store.spark, **src_kw)
         declared = {s.name for s in fv.features}

@@ -151,6 +151,28 @@ def _serialize_transform(t: Callable) -> dict | None:
         return None  # lambda / decorated blob
     if inspect.getclosurevars(t).nonlocals:
         return None  # closure state can't round-trip through text
+    # the deserialization namespace carries only numpy/pandas: any other
+    # module-level global would serialize fine and then NameError at
+    # serving time — refuse up front (r02 review). Attribute accesses
+    # don't count (getclosurevars' "unbound" conflates them), so scan
+    # the bytecode for actual LOAD_GLOBAL names instead.
+    import builtins
+    import dis
+
+    def global_loads(code) -> set:
+        names = {
+            i.argval
+            for i in dis.get_instructions(code)
+            if i.opname == "LOAD_GLOBAL"
+        }
+        for const in code.co_consts:
+            if hasattr(const, "co_code"):
+                names |= global_loads(const)
+        return names
+
+    allowed = {"np", "numpy", "pd", "pandas"}
+    if global_loads(t.__code__) - allowed - set(dir(builtins)):
+        return None
     return {"src": src, "fn": name}
 
 

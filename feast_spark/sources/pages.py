@@ -93,22 +93,12 @@ def write_table(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     prev = current_snapshot(root) if mode == "append" else None
-    if mode == "overwrite":
-        # Spark's overwrite deletes every prior data file, so stale
-        # snap-*.json / lineage would reference nothing (time travel to
-        # them would crash and expire_snapshots would see a phantom HEAD
-        # successor — ADVICE r01). Drop all prior metadata first.
-        meta = os.path.join(root, META_DIR)
-        if os.path.isdir(meta):
-            import shutil
-
-            for name in os.listdir(meta):
-                if name.startswith("snap-") and name.endswith(".json"):
-                    os.remove(os.path.join(meta, name))
-            shutil.rmtree(os.path.join(meta, LINEAGE_DIR), ignore_errors=True)
-            head = os.path.join(meta, "HEAD")
-            if os.path.exists(head):
-                os.remove(head)
+    if prev and prev.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"append changes n_buckets ({prev.get('n_buckets')} -> "
+            f"{n_buckets}); the bucket modulus is fixed at table creation "
+            "(old files would hash under a different transform)"
+        )
     # diff against every file ANY snapshot knows (compaction leaves old
     # files on disk for time travel — they must not re-register)
     prev_files: set[str] = set()
@@ -143,6 +133,25 @@ def write_table(
     staged.write.partitionBy("dt", "bucket").mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(data_path)
+
+    if mode == "overwrite":
+        # Spark's overwrite deleted every prior data file, so stale
+        # snap-*.json / lineage would reference nothing (time travel to
+        # them would crash and expire_snapshots would see a phantom HEAD
+        # successor — ADVICE r01). Wipe prior metadata only AFTER the
+        # write succeeded: an overwrite that fails at analysis time must
+        # leave the existing table fully readable (round-2 review).
+        meta = os.path.join(root, META_DIR)
+        if os.path.isdir(meta):
+            import shutil
+
+            for name in os.listdir(meta):
+                if name.startswith("snap-") and name.endswith(".json"):
+                    os.remove(os.path.join(meta, name))
+            shutil.rmtree(os.path.join(meta, LINEAGE_DIR), ignore_errors=True)
+            head = os.path.join(meta, "HEAD")
+            if os.path.exists(head):
+                os.remove(head)
 
     all_files = _list_data_files(root)
     new_files = [p for p in all_files if p not in prev_files]
@@ -235,14 +244,20 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
     names = [schema.field(i).name for i in range(len(schema.names))]
     mins: dict[str, list] = {}
     maxs: dict[str, list] = {}
+    # a column's stats are usable only if EVERY row group contributed:
+    # skipping one row group (no stats, or a capped long string) while
+    # keeping others would record bounds that exclude real values and
+    # make col_ranges pruning drop files that contain matching rows
+    dropped: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = names[ci] if ci < len(names) else col.path_in_schema
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                continue
             lo, hi = st.min, st.max
             # key/ts always keep full stats (planner + hot-key detection
             # depend on exact values); other columns respect the cap
@@ -254,6 +269,7 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
                     )
                 )
             ):
+                dropped.add(name)
                 continue
             mins.setdefault(name, []).append(lo)
             maxs.setdefault(name, []).append(hi)
@@ -265,6 +281,7 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
     cols = {
         name: [_iso(min(mins[name])), _iso(max(maxs[name]))]
         for name in mins
+        if name not in dropped
     }
     return {
         "path": rel_path,
@@ -606,16 +623,23 @@ def read_table(
 
 
 def buckets_of_keys(
-    spark: SparkSession, keys: list[str], n_buckets: int
+    spark: SparkSession, keys: list, n_buckets: int,
+    key_type: str | None = None,
 ) -> set[int]:
     """Compute the layout buckets of a probe key set (for S2 bucket
-    pruning). xxhash64 is a JVM function, so a one-column Spark job is the
-    authoritative way to evaluate it."""
+    pruning). xxhash64 is a JVM function, so a one-column Spark job is
+    the authoritative way to evaluate it. The key column must carry the
+    TABLE's key dtype (pass ``key_type``, Spark simpleString): xxhash64
+    of an int cast to string (or an int vs a bigint) differs from the
+    hash the writer used, silently missing every row of non-string keys
+    (round-2 review finding). Without ``key_type``, the natural inferred
+    type is used (Python int → bigint, str → string)."""
     if not keys:
         return set()
-    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])  # infer type
+    k = F.col("k").cast(key_type) if key_type else F.col("k")
     rows = df.select(
-        F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b")
+        F.pmod(F.xxhash64(k), F.lit(n_buckets)).alias("b")
     ).distinct().collect()
     return {r["b"] for r in rows}
 
