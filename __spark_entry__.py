@@ -108,6 +108,23 @@ def q_pit_asof_cogroup(spark, sf_dir):
     return _pit(spark, sf_dir, "cogroup")
 
 
+def q_pit_asof_sliced(spark, sf_dir):
+    """Time-sliced hot-key PIT strategy (operators/asof.py
+    _asof_union_sliced): must be result-identical to every other
+    strategy against the shared ASOF oracle."""
+    from feast_spark.operators.asof import asof_join
+
+    probes, feats = _events_pit_inputs(spark, sf_dir)
+    out = asof_join(
+        probes, feats, by="user_id", left_on="ts", right_on="ets",
+        ttl=timedelta(seconds=PIT_TTL_S), strategy="sliced",
+        slice_s=86400.0, include_event_ts=True, event_ts_name="event_ts",
+    )
+    return out.select(
+        "user_id", "ts", F.round("value", 6).alias("value"), "event_ts"
+    )
+
+
 def q_pit_no_ttl(spark, sf_dir):
     from feast_spark.operators.asof import asof_join
 
@@ -1416,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_asof_broadcast": q_pit_asof_broadcast,
         "pit_asof_cogroup": q_pit_asof_cogroup,
         "pit_no_ttl": q_pit_no_ttl,
+        "pit_asof_sliced": q_pit_asof_sliced,
         "pit_two_views_prefixed": q_pit_two_views_prefixed,
         "lag_lead": q_lag_lead,
         "running_sum": q_running_sum,
@@ -1511,6 +1529,7 @@ def _oracles() -> dict[str, str]:
         "pit_asof_union": pit,
         "pit_asof_broadcast": pit,
         "pit_asof_cogroup": pit,
+        "pit_asof_sliced": pit,
         "pit_no_ttl": """
             WITH probes AS (
               SELECT user_id, ts + INTERVAL 30 MINUTES AS ts

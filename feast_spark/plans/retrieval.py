@@ -117,15 +117,16 @@ def plan_retrieval(
             # the driver — zero extra scans. A hot entity key makes the
             # union window's partitionBy(key) one giant sort task and
             # blows up broadcast's range-join fanout (hot_rows × probes
-            # of that key); cogroup's per-bucket merge_asof stays linear,
-            # so hot tables route there.
+            # of that key). The sliced strategy partitions the hot key's
+            # TIMELINE, the only bound that holds when one key exceeds a
+            # task (r02 review; cogroup/salting only bound aggregates).
             from feast_spark.operators.skew import detect_hot_keys_from_manifest
 
             hot_keys = detect_hot_keys_from_manifest(
                 snap, min_rows=hot_key_min_rows
             )
             if hot_keys:
-                chosen = "cogroup"
+                chosen = "sliced"
         src_kw: dict = {}
         n_buckets = None
         if fv.layout_root:

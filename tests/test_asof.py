@@ -229,3 +229,48 @@ def test_composite_key_asof(spark, strategy):
         assert out[k] == v, (strategy, k, out)
     missing = out[("b", "y", pd.Timestamp("2023-01-05"))]
     assert missing is None or pd.isna(missing)
+
+
+@pytest.mark.parametrize("slice_s", [3600, 86400, 7 * 86400])
+@pytest.mark.parametrize("ttl", [None, 7 * 86400])
+def test_sliced_equals_union(spark, probes_df, feat_df, ttl, slice_s):
+    """The time-sliced hot-key strategy is result-identical to plain
+    union across slice widths and TTL regimes (per-task state is one
+    slice of one key — the only bound that holds for a single hot key)."""
+    kw = dict(
+        by="url", left_on="ts", right_on="warc_ts", ttl=ttl,
+        include_event_ts=True,
+    )
+    want = asof_join(probes_df, feat_df, strategy="union", **kw)
+    got = asof_join(
+        probes_df, feat_df, strategy="sliced", slice_s=slice_s, **kw
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_sliced_created_tiebreak(spark):
+    """Equal-ts events across a slice boundary: created/hash tie-break
+    must match union exactly (max_by struct ordering = asc_nulls_first)."""
+    from pyspark.sql import Row
+
+    feats = spark.createDataFrame(
+        [
+            Row(url="u", warc_ts="2023-01-01 00:00:00",
+                created="2023-01-01 01:00:00", v=1.0),
+            Row(url="u", warc_ts="2023-01-01 00:00:00",
+                created="2023-01-02 01:00:00", v=2.0),
+            Row(url="u", warc_ts="2023-01-01 00:00:00", created=None, v=3.0),
+        ]
+    ).withColumns({"warc_ts": F.col("warc_ts").cast("timestamp"),
+                   "created": F.col("created").cast("timestamp")})
+    probes = spark.createDataFrame(
+        [Row(url="u", ts="2023-03-01 00:00:00")]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kw = dict(by="url", left_on="ts", right_on="warc_ts",
+              created_col="created", ttl=None)
+    a = asof_join(probes, feats, strategy="union", **kw).first()["v"]
+    b = asof_join(
+        probes, feats, strategy="sliced", slice_s=3600, **kw
+    ).first()["v"]
+    assert a == b == 2.0  # max created wins; null created loses

@@ -151,7 +151,7 @@ def test_hot_key_routes_union_to_cogroup(spark, tmp_path_factory):
         hot_key_min_rows=100,
         decisions=decisions,
     )
-    assert decisions[0]["strategy"] == "cogroup"
+    assert decisions[0]["strategy"] == "sliced"
     assert "https://hot.example/" in decisions[0]["hot_keys"]
     want = plan_retrieval(store, probes, ["hotv:n_chars"], strategy="union")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
