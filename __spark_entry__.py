@@ -1263,6 +1263,48 @@ def q_layout_upsert(spark, sf_dir):
     )
 
 
+def q_table_history(spark, sf_dir):
+    """Metadata-table driver query: snapshots view of a two-snapshot
+    table must report the committed row counts (sources/pages.py
+    table_history; Iceberg's snapshots metadata table)."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, dt_granularity="month",
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+        dt_granularity="month",
+    )
+    return layout.table_history(spark, root).select(
+        "snapshot_id", "operation", "n_rows"
+    )
+
+
+def q_table_profile(spark, sf_dir):
+    """Data-quality profile driver query: per-column null fraction and
+    min/max in ONE aggregation pass (operators/text.py profile_table).
+    approx_distinct is sketch-based, so the oracle checks the exact
+    measures only."""
+    from feast_spark.operators.text import profile_table
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    out = profile_table(ev)
+    return out.select(
+        "n_rows", "column", "dtype",
+        F.round("null_frac", 6).alias("null_frac"),
+        "min", "max",
+    )
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub driver-verified: plant an email/IP/phone per doc, redact
     with the JVM regexp chain, compare against DuckDB's RE2 applying the
@@ -1506,6 +1548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
         "layout_upsert": q_layout_upsert,
+        "table_history": q_table_history,
+        "table_profile": q_table_profile,
         "pii_redact": q_pii_redact,
         "contamination": q_contamination,
         "gopher_quality": q_gopher_quality,
@@ -1587,6 +1631,37 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, min(ts) AS sess_start, max(ts) AS sess_end,
                    count(*) AS n_events
             FROM s GROUP BY user_id, sess_id
+        """,
+        "table_history": """
+            SELECT CAST(1 AS INT) AS snapshot_id, 'overwrite' AS operation,
+                   (SELECT count(*) FROM events WHERE event_id % 2 = 0)
+                     AS n_rows
+            UNION ALL
+            SELECT CAST(2 AS INT), 'append', (SELECT count(*) FROM events)
+        """,
+        "table_profile": """
+            SELECT (SELECT count(*) FROM events) AS n_rows,
+                   'event_id' AS "column", 'bigint' AS dtype,
+                   round(CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0
+                         END) AS DOUBLE) / count(*), 6) AS null_frac,
+                   CAST(min(event_id) AS VARCHAR) AS "min",
+                   CAST(max(event_id) AS VARCHAR) AS "max"
+            FROM events
+            UNION ALL
+            SELECT (SELECT count(*) FROM events),
+                   'user_id', 'bigint',
+                   round(CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                         END) AS DOUBLE) / count(*), 6),
+                   CAST(min(user_id) AS VARCHAR),
+                   CAST(max(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT (SELECT count(*) FROM events),
+                   'event_type', 'string',
+                   round(CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                         END) AS DOUBLE) / count(*), 6),
+                   min(event_type), max(event_type)
+            FROM events
         """,
         "layout_upsert": """
             SELECT event_id, user_id, ts,

@@ -440,3 +440,47 @@ def ngram_contamination(
     bench = gram_hashes(benchmark, keep_id=False).distinct()
     hits = gram_hashes(corpus, keep_id=True).join(F.broadcast(bench), "__gh")
     return hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+# ---------------------------------------------------------- profiling ------
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """One-pass data-quality profile: per column — null fraction, approx
+    distinct count, and min/max for orderable types (a dbt-test /
+    expectations-style summary). ONE aggregation over the table (all
+    measures map-side combinable), unpivoted to one row per column."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    orderable = {}
+    for f in df.schema.fields:
+        c = f.name
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__dist_{c}"))
+        simple = f.dataType.simpleString()
+        orderable[c] = not (
+            simple.startswith(("array", "map", "struct", "binary"))
+        )
+        if orderable[c]:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    cols = []
+    for f in df.schema.fields:
+        c = f.name
+        cols.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                (F.col(f"__null_{c}") / F.greatest(F.col("__n"), F.lit(1)))
+                .alias("null_frac"),
+                F.col(f"__dist_{c}").alias("approx_distinct"),
+                (F.col(f"__min_{c}") if orderable[c] else F.lit(None).cast("string"))
+                .alias("min"),
+                (F.col(f"__max_{c}") if orderable[c] else F.lit(None).cast("string"))
+                .alias("max"),
+            )
+        )
+    return row.select(
+        F.col("__n").alias("n_rows"), F.explode(F.array(*cols)).alias("p")
+    ).select("n_rows", "p.*")

@@ -828,3 +828,63 @@ def upsert_table(
     }
     _commit_snapshot(root, new_snap)
     return new_snap["snapshot_id"]
+
+
+# --------------------------------------------------- metadata tables ------
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """Iceberg's ``snapshots`` metadata table: one row per snapshot with
+    operation, parent, commit time, and file/row/byte totals — driver
+    reads only the JSON manifests."""
+    rows = []
+    meta = os.path.join(root, META_DIR)
+    for name in sorted(os.listdir(meta)):
+        if not (name.startswith("snap-") and name.endswith(".json")):
+            continue
+        s = load_snapshot(root, name)
+        rows.append(
+            (
+                s["snapshot_id"],
+                s.get("parent"),
+                s.get("operation"),
+                float(s.get("committed_at", 0.0)),
+                len(s["files"]),
+                sum(f["rows"] for f in s["files"]),
+                sum(f.get("bytes", 0) for f in s["files"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent int, operation string, committed_at double, "
+        "n_files int, n_rows long, n_bytes long",
+    )
+
+
+def table_files(
+    spark: SparkSession, root: str, *, snapshot: int | None = None
+) -> DataFrame:
+    """Iceberg's ``files`` metadata table: one row per data file of a
+    snapshot with partition values and stats — the planner's view of the
+    table, queryable with plain DataFrame ops."""
+    snap = (
+        load_snapshot(root, snapshot)
+        if snapshot is not None
+        else current_snapshot(root)
+    )
+    if snap is None:
+        raise FileNotFoundError(f"no table at {root}")
+    rows = [
+        (
+            f["path"], f["dt"], f["bucket"], f["rows"], f.get("bytes", 0),
+            f.get("min_ts"), f.get("max_ts"),
+            str(f.get("min_key")) if f.get("min_key") is not None else None,
+            str(f.get("max_key")) if f.get("max_key") is not None else None,
+        )
+        for f in snap["files"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "path string, dt string, bucket int, rows long, bytes long, "
+        "min_ts string, max_ts string, min_key string, max_key string",
+    )

@@ -422,3 +422,26 @@ def test_partition_spec_evolution(spark, pages_df, tmp_path_factory):
     # compaction handles mixed-spec cells independently
     layout.compact_table(spark, root)
     assert layout.read_table(spark, root).count() == n
+
+
+def test_metadata_tables(spark, pages_df, tmp_path_factory):
+    """snapshots/files metadata tables reflect commits; files view is
+    queryable with plain DataFrame ops (Iceberg metadata tables)."""
+    root = str(tmp_path_factory.mktemp("meta") / "t")
+    layout.write_table(pages_df.limit(100), root, n_buckets=B,
+                       dt_granularity="month")
+    layout.write_table(
+        pages_df.orderBy(F.desc("url")).limit(40), root, n_buckets=B,
+        mode="append", dt_granularity="month",
+    )
+    hist = layout.table_history(spark, root).orderBy("snapshot_id").collect()
+    assert [(h["snapshot_id"], h["operation"]) for h in hist] == [
+        (1, "overwrite"), (2, "append"),
+    ]
+    assert hist[1]["n_rows"] == hist[0]["n_rows"] + 40
+    files = layout.table_files(spark, root)
+    assert files.count() == len(layout.current_snapshot(root)["files"])
+    assert files.filter(F.col("rows") <= 0).count() == 0
+    # time-travel view of the files table
+    f1 = layout.table_files(spark, root, snapshot=1)
+    assert f1.agg(F.sum("rows")).first()[0] == hist[0]["n_rows"]
