@@ -350,6 +350,31 @@ def _commit_snapshot(root: str, snapshot: dict) -> None:
     os.replace(head_tmp, os.path.join(meta, "HEAD"))
 
 
+def _zorder_indices(tbl, cols: list[str]):
+    """Sort permutation by Morton (z-order) code over ``cols``: each
+    column is rank-normalized (pandas rank — robust to nulls and mixed
+    dtypes) and quantized to 16 bits, then the bit patterns interleave.
+    Rows close in EVERY dimension land close in the file, so per-file
+    min/max stay tight on all zorder columns at once (the point of
+    Iceberg's rewrite_data_files zorder)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(tbl)
+    codes = []
+    for c in cols:
+        s = pd.Series(tbl.column(c).to_pandas())
+        rank = s.rank(method="first", na_option="top").to_numpy()
+        q = ((rank - 1) * 65535 / max(n - 1, 1)).astype(np.uint64)
+        codes.append(q)
+    z = np.zeros(n, dtype=np.uint64)
+    k = len(codes)
+    for bit in range(16):
+        for i, q in enumerate(codes):
+            z |= ((q >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * k + i)
+    return np.argsort(z, kind="mergesort")
+
+
 def _compact_cell(
     root: str,
     dt: str,
@@ -358,33 +383,47 @@ def _compact_cell(
     key_col: str,
     ts_col: str,
     new_snap_id: int,
-) -> dict:
-    """Rewrite one (dt, bucket) cell into a single (key, ts)-sorted file.
-    Runs on an executor (shared FS assumed, as on any real cluster).
-    Files written before an add-column schema evolution are read with
-    permissive promotion (missing columns null-filled) — ADVICE r01."""
+    zorder: list[str] | None = None,
+    target_rows: int | None = None,
+) -> list[dict]:
+    """Rewrite one (dt, bucket) cell. Default: one (key, ts)-sorted file.
+    With ``zorder``, rows are clustered by Morton code over the given
+    columns and split into ``target_rows`` chunks so per-file column
+    stats stay tight in every zorder dimension. Runs on an executor
+    (shared FS assumed, as on any real cluster). Files written before an
+    add-column schema evolution are read with permissive promotion
+    (missing columns null-filled) — ADVICE r01."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     tabs = [pq.read_table(os.path.join(root, p)) for p in rel_paths]
     tbl = pa.concat_tables(tabs, promote_options="permissive")
-    order = pa.compute.sort_indices(
-        tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
-    )
-    tbl = tbl.take(order)
-    rel = os.path.join(
-        DATA_DIR, f"dt={dt}", f"bucket={bucket}",
-        f"compact-{new_snap_id:06d}.parquet",
-    )
-    out_path = os.path.join(root, rel)
-    # Spark may have written TZ timestamps as INT96, which pyarrow reads
-    # as ns; writing ns back produces TIMESTAMP(NANOS) parquet that Spark
-    # refuses to read. Coerce to micros (Spark's native precision — no
-    # data loss) so compacted files stay Spark-readable.
-    pq.write_table(
-        tbl, out_path, coerce_timestamps="us", allow_truncated_timestamps=True
-    )
-    return _file_stats(out_path, rel, key_col, ts_col)
+    if zorder:
+        tbl = tbl.take(pa.array(_zorder_indices(tbl, zorder)))
+    else:
+        order = pa.compute.sort_indices(
+            tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+        tbl = tbl.take(order)
+    chunk = target_rows if (zorder and target_rows) else len(tbl) or 1
+    stats = []
+    for i, start in enumerate(range(0, max(len(tbl), 1), chunk)):
+        part = tbl.slice(start, chunk)
+        rel = os.path.join(
+            DATA_DIR, f"dt={dt}", f"bucket={bucket}",
+            f"compact-{new_snap_id:06d}-{i:04d}.parquet",
+        )
+        out_path = os.path.join(root, rel)
+        # Spark may have written TZ timestamps as INT96, which pyarrow
+        # reads as ns; writing ns back produces TIMESTAMP(NANOS) parquet
+        # that Spark refuses to read. Coerce to micros (Spark's native
+        # precision — no data loss) so compacted files stay readable.
+        pq.write_table(
+            part, out_path, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        stats.append(_file_stats(out_path, rel, key_col, ts_col))
+    return stats
 
 
 def compact_table(
@@ -392,6 +431,8 @@ def compact_table(
     root: str,
     *,
     min_files: int = 2,
+    zorder: list[str] | None = None,
+    target_rows: int | None = None,
 ) -> int:
     """Iceberg-style small-file compaction: rewrite every (dt, bucket)
     cell holding ≥ ``min_files`` files into one (key, ts)-sorted file,
@@ -419,8 +460,9 @@ def compact_table(
 
     new_files: list[dict] = []
     todo: list[tuple[str, int, list[str]]] = []
+    eff_min = 1 if zorder else min_files  # re-clustering rewrites singles too
     for (dt, bucket), files in sorted(by_cell.items()):
-        if len(files) < min_files:
+        if len(files) < eff_min:
             new_files.extend(files)
         else:
             todo.append((dt, bucket, [f["path"] for f in files]))
@@ -433,6 +475,7 @@ def compact_table(
                         _compact_cell(
                             root, r.dt, int(r.bucket), json.loads(r.paths),
                             key_col, ts_col, new_snap_id,
+                            zorder=zorder, target_rows=target_rows,
                         )
                     )
                     for r in pdf.itertuples()
@@ -445,14 +488,15 @@ def compact_table(
         )
         n = max(1, min(len(todo), spark.sparkContext.defaultParallelism))
         out = cells.repartition(n).mapInPandas(rewrite, "stat string").collect()
-        new_files.extend(json.loads(r["stat"]) for r in out)
+        for r in out:
+            new_files.extend(json.loads(r["stat"]))
 
     new_snap = {
         **snap,
         "snapshot_id": new_snap_id,
         "parent": snap["snapshot_id"],
         "committed_at": time.time(),
-        "operation": "compact",
+        "operation": "zorder" if zorder else "compact",
         "files": sorted(new_files, key=lambda s: s["path"]),
     }
     _commit_snapshot(root, new_snap)

@@ -445,3 +445,45 @@ def test_metadata_tables(spark, pages_df, tmp_path_factory):
     # time-travel view of the files table
     f1 = layout.table_files(spark, root, snapshot=1)
     assert f1.agg(F.sum("rows")).first()[0] == hist[0]["n_rows"]
+
+
+def test_zorder_compaction_improves_two_dim_skipping(spark, tmp_path_factory):
+    """Z-order rewrite: per-file stats stay tight on BOTH clustered
+    columns, so col_ranges pruning skips files in either dimension;
+    a linear (key,ts) sort gives no skipping on the independent column."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(11)
+    rows = [
+        Row(url=f"https://z.example/{i}", warc_ts="2023-06-01 00:00:00",
+            a=int(rng.integers(0, 10_000)), b=int(rng.integers(0, 10_000)))
+        for i in range(4_000)
+    ]
+    base = tmp_path_factory.mktemp("zorder")
+
+    def build(path, **compact_kw):
+        src = spark.createDataFrame(rows).withColumn(
+            "warc_ts", F.col("warc_ts").cast("timestamp")
+        )
+        layout.write_table(src, path, n_buckets=1, dt_granularity="month")
+        layout.compact_table(spark, path, **compact_kw)
+        return path
+
+    zpath = build(str(base / "z"), zorder=["a", "b"], target_rows=250)
+    snap = layout.current_snapshot(zpath)
+    assert snap["operation"] == "zorder" and len(snap["files"]) >= 8
+
+    _, allf = layout.plan_files(zpath)
+    kept_a = len(layout.plan_files(zpath, col_ranges={"a": (0, 999)})[1])
+    kept_b = len(layout.plan_files(zpath, col_ranges={"b": (0, 999)})[1])
+    # a 10% slice of either dimension must skip a solid majority of files
+    assert kept_a <= len(allf) // 2 and kept_b <= len(allf) // 2
+
+    # correctness: pruned read + residual filter == full answer
+    got = (
+        layout.read_table(spark, zpath, col_ranges={"a": (0, 999)})
+        .filter(F.col("a") <= 999).count()
+    )
+    want = sum(1 for r in rows if r.a <= 999)
+    assert got == want
