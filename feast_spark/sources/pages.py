@@ -80,6 +80,7 @@ def write_table(
     mode: str = "overwrite",
     dt_granularity: str = "day",
     allow_spec_evolution: bool = False,
+    distributed_stats: bool = False,
 ) -> int:
     """Write ``df`` into the layout at ``root``; returns the committed
     snapshot id.
@@ -155,7 +156,13 @@ def write_table(
 
     all_files = _list_data_files(root)
     new_files = [p for p in all_files if p not in prev_files]
-    stats = _collect_stats_local(root, new_files, key_col, ts_col)
+    if distributed_stats:
+        # the 100 TB path: footer reads fan out across executors
+        stats = collect_stats_distributed(
+            df.sparkSession, root, new_files, key_col, ts_col
+        )
+    else:
+        stats = _collect_stats_local(root, new_files, key_col, ts_col)
     if prev:
         stats = prev["files"] + stats
 

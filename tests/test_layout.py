@@ -487,3 +487,23 @@ def test_zorder_compaction_improves_two_dim_skipping(spark, tmp_path_factory):
     )
     want = sum(1 for r in rows if r.a <= 999)
     assert got == want
+
+
+def test_write_table_distributed_stats(spark, pages_df, tmp_path_factory):
+    """distributed_stats=True produces the identical manifest via the
+    executor-side footer fan-out."""
+    base = tmp_path_factory.mktemp("dstats")
+    a, b = str(base / "local"), str(base / "dist")
+    layout.write_table(pages_df.limit(150), a, n_buckets=B,
+                       dt_granularity="month")
+    layout.write_table(pages_df.limit(150), b, n_buckets=B,
+                       dt_granularity="month", distributed_stats=True)
+    fa = [
+        (f["dt"], f["bucket"], f["rows"], f["min_ts"], f["max_ts"])
+        for f in layout.current_snapshot(a)["files"]
+    ]
+    fb = [
+        (f["dt"], f["bucket"], f["rows"], f["min_ts"], f["max_ts"])
+        for f in layout.current_snapshot(b)["files"]
+    ]
+    assert sorted(fa) == sorted(fb) and fa
