@@ -833,6 +833,30 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Pairwise near-dups → dedup clusters via iterative min-label
+    connected components (operators/dedupe.py connected_components),
+    verified against a DuckDB RECURSIVE transitive-closure oracle —
+    the iterative-algorithm driver check."""
+    from feast_spark.operators.dedupe import near_dup_keepers, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.7, shingle_k=3)
+    out = near_dup_keepers(corpus.select("doc_id"), pairs)
+    return out.select(
+        "doc_id", "component", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → typed metadata struct
     (mapInPandas). Payload here is the utf-8 text bytes (no codecs in
@@ -1527,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "near_dup_clusters": q_near_dup_clusters,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
@@ -2377,6 +2402,54 @@ def _oracles() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM pairs WHERE j >= 0.7
+        """,
+        "near_dup_clusters": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     array_to_string(
+                       (str_split(text, ' '))[1:len(str_split(text, ' ')) - 1],
+                       ' ')
+              FROM documents WHERE doc_id < 100
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(
+                         len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2,
+                         1) + 1),
+                       i -> array_to_string(
+                         (regexp_split_to_array(lower(trim(text)), '\s+'))[i:i+2],
+                         ' '))) AS s
+              FROM docs
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ),
+            edges AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION
+              SELECT id_b, id_a FROM p
+            ),
+            reach AS (
+              SELECT s AS a, d AS b FROM edges
+              UNION
+              SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+            ),
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a
+            )
+            SELECT i.doc_id,
+                   COALESCE(c.component, i.doc_id) AS component,
+                   CAST(i.doc_id = COALESCE(c.component, i.doc_id) AS INT)
+                     AS keep
+            FROM (SELECT doc_id FROM docs) i
+            LEFT JOIN comp c USING (doc_id)
         """,
         "multimodal_meta": """
             SELECT doc_id,

@@ -291,3 +291,85 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise matches into dedup CLUSTERS (keep one doc per
+    component). Iterative min-label propagation: every node repeatedly
+    takes the smallest label among itself and its neighbors until a
+    fixpoint; converges in O(component diameter) rounds, and near-dup
+    components are shallow by construction. Each round is one join + one
+    map-side-combinable min — no collect; ``localCheckpoint`` truncates
+    the growing lineage so round N's plan does not replay rounds 1..N-1.
+    Returns (id, component) with component = min doc id of the cluster.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce("nbr_comp", labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def near_dup_keepers(
+    doc_ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Dedup decision per document: component id and a ``keep`` flag
+    (the smallest id of each component survives; singletons keep
+    themselves). The standard tail of a MinHash/SimHash pipeline."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        doc_ids.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .withColumn("keep", (F.col(id_col) == F.col("component")))
+    )

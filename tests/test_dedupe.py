@@ -195,3 +195,28 @@ def test_ngram_stop_shingle_cap(spark):
         df, threshold=0.01, shingle_k=3, max_shingle_df=5
     ).count()
     assert uncapped >= 50 * 49 / 2 and capped == 1
+
+
+def test_connected_components_and_keepers(spark):
+    """Pairwise matches -> dedup clusters: planted chains/cliques resolve
+    to min-id components; keeper selection keeps exactly one per
+    component plus all singletons."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.dedupe import connected_components, near_dup_keepers
+
+    # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=10, id_b=12), Row(id_a=11, id_b=12),
+         Row(id_a=20, id_b=21)]
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]]
+    )
+    k = near_dup_keepers(docs, pairs).toPandas().set_index("doc_id")
+    assert set(k[k["keep"]].index) == {1, 10, 20, 99}
+    assert k.loc[99, "component"] == 99  # singleton keeps itself
