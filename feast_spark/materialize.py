@@ -247,7 +247,9 @@ def _store_meta_path(dest: str) -> str:
     return os.path.join(dest, layout.META_DIR, "store.json")
 
 
-def write_store_meta(dest: str, *, n_buckets: int, key_col: str) -> None:
+def write_store_meta(
+    dest: str, *, n_buckets: int, key_col: str, key_type: str | None = None
+) -> None:
     """Persist the store's bucket modulus (ADVICE r01: inferring it from
     ``1+max(bucket dirs)`` is wrong when the top bucket was never written —
     point lookups then hash keys with a different modulus than the writer
@@ -264,11 +266,20 @@ def write_store_meta(dest: str, *, n_buckets: int, key_col: str) -> None:
                 f"{prior['n_buckets']}, cannot re-materialize with "
                 f"{n_buckets}"
             )
+        if key_type and not prior.get("key_type"):
+            prior["key_type"] = key_type  # backfill for older stores
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(prior, f)
+            os.replace(tmp, path)
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"n_buckets": n_buckets, "key_col": key_col}, f)
+        json.dump(
+            {"n_buckets": n_buckets, "key_col": key_col, "key_type": key_type},
+            f,
+        )
     os.replace(tmp, path)
 
 
@@ -326,8 +337,15 @@ def read_online(
     else:  # legacy store without metadata: best-effort inference
         n_buckets = 1 + max(int(d.split("=")[1]) for d in dirs)
     # hash probe keys with the STORE's key dtype (int vs bigint vs string
-    # all hash differently under xxhash64 — round-2 review finding)
-    key_type = spark.read.parquet(data).schema[key_col].dataType.simpleString()
+    # all hash differently under xxhash64 — r02 review). Persisted in
+    # store.json; fall back to ONE bucket dir's footer, never a
+    # full-store listing (hot serving path).
+    key_type = (meta or {}).get("key_type")
+    if not key_type:
+        key_type = (
+            spark.read.parquet(os.path.join(data, dirs[0]))
+            .schema[key_col].dataType.simpleString()
+        )
     wanted = layout.buckets_of_keys(spark, keys, n_buckets, key_type=key_type)
     paths = [
         os.path.join(data, d)

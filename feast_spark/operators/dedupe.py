@@ -308,7 +308,10 @@ def connected_components(
     components are shallow by construction. Each round is one join + one
     map-side-combinable min — no collect; ``localCheckpoint`` truncates
     the growing lineage so round N's plan does not replay rounds 1..N-1.
-    Returns (id, component) with component = min doc id of the cluster.
+    Raises if the fixpoint is not reached within ``max_iter`` — silent
+    partial convergence would split real clusters and keep multiple
+    "keepers" (r02 review). Returns (id, component) with component =
+    min doc id of the cluster.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.unionByName(
@@ -321,6 +324,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -351,7 +355,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

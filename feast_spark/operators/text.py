@@ -450,21 +450,28 @@ def profile_table(df: DataFrame) -> DataFrame:
     distinct count, and min/max for orderable types (a dbt-test /
     expectations-style summary). ONE aggregation over the table (all
     measures map-side combinable), unpivoted to one row per column."""
+    # backticked references throughout: a bare F.col("a.b") (and even
+    # df["a.b"]) parses the dot as struct access, crashing on legal
+    # dotted column names (r02 review)
+    def _c(name: str) -> Column:
+        return F.col("`" + name + "`")
+
     n = F.count(F.lit(1))
     aggs = [n.alias("__n")]
     orderable = {}
     for f in df.schema.fields:
         c = f.name
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
-        aggs.append(F.approx_count_distinct(c).alias(f"__dist_{c}"))
+        aggs.append(F.sum(_c(c).isNull().cast("long")).alias(f"__null_{c}"))
+        aggs.append(F.approx_count_distinct(_c(c)).alias(f"__dist_{c}"))
         simple = f.dataType.simpleString()
         orderable[c] = not (
             simple.startswith(("array", "map", "struct", "binary"))
         )
         if orderable[c]:
-            aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
+            aggs.append(F.min(_c(c)).cast("string").alias(f"__min_{c}"))
+            aggs.append(F.max(_c(c)).cast("string").alias(f"__max_{c}"))
     row = df.agg(*aggs)
+
     cols = []
     for f in df.schema.fields:
         c = f.name
@@ -472,12 +479,12 @@ def profile_table(df: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(c).alias("column"),
                 F.lit(f.dataType.simpleString()).alias("dtype"),
-                (F.col(f"__null_{c}") / F.greatest(F.col("__n"), F.lit(1)))
+                (_c(f"__null_{c}") / F.greatest(F.col("__n"), F.lit(1)))
                 .alias("null_frac"),
-                F.col(f"__dist_{c}").alias("approx_distinct"),
-                (F.col(f"__min_{c}") if orderable[c] else F.lit(None).cast("string"))
+                _c(f"__dist_{c}").alias("approx_distinct"),
+                (_c(f"__min_{c}") if orderable[c] else F.lit(None).cast("string"))
                 .alias("min"),
-                (F.col(f"__max_{c}") if orderable[c] else F.lit(None).cast("string"))
+                (_c(f"__max_{c}") if orderable[c] else F.lit(None).cast("string"))
                 .alias("max"),
             )
         )

@@ -166,8 +166,9 @@ def plan_retrieval(
                 # holds for aggregate volume, not a single hot key: one
                 # key always hashes to one bucket, so a key larger than
                 # worker memory needs time-sliced handling regardless of
-                # B (cogroup's merge is linear, vs the union window's
-                # sort, which is why hot keys still route here).
+                # B — which is why AUTO-detected hot keys route to the
+                # sliced strategy, not here; this path serves explicit
+                # strategy="cogroup" and large-probe layout retrievals.
                 per_bucket: dict = {}
                 for fs in snap["files"]:
                     per_bucket[fs["bucket"]] = (

@@ -131,21 +131,26 @@ def write_table(
         # partition cols lead the sort so each task emits one run per dir
         .sortWithinPartitions("dt", "bucket", key_col, ts_col)
     )
-    staged.write.partitionBy("dt", "bucket").mode(
-        "overwrite" if mode == "overwrite" else "append"
-    ).parquet(data_path)
+    if mode == "overwrite" and os.path.isdir(data_path):
+        # Crash-safe overwrite of an EXISTING table (r02 review): write
+        # the replacement beside the table, then swap directories. A
+        # failure anywhere during the Spark job (analysis OR execution)
+        # leaves the old data + metadata untouched; the crash window
+        # shrinks to the two renames, after which data.old still holds
+        # every byte.
+        import shutil
 
-    if mode == "overwrite":
-        # Spark's overwrite deleted every prior data file, so stale
-        # snap-*.json / lineage would reference nothing (time travel to
-        # them would crash and expire_snapshots would see a phantom HEAD
-        # successor — ADVICE r01). Wipe prior metadata only AFTER the
-        # write succeeded: an overwrite that fails at analysis time must
-        # leave the existing table fully readable (round-2 review).
+        stage = os.path.join(root, "_staging", "overwrite")
+        shutil.rmtree(stage, ignore_errors=True)
+        staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(stage)
+        old = data_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(data_path, old)
+        os.replace(stage, data_path)
+        # only now is the old metadata stale (its files just moved away):
+        # drop snap-*.json / lineage / HEAD, then the saved data
         meta = os.path.join(root, META_DIR)
         if os.path.isdir(meta):
-            import shutil
-
             for name in os.listdir(meta):
                 if name.startswith("snap-") and name.endswith(".json"):
                     os.remove(os.path.join(meta, name))
@@ -153,6 +158,11 @@ def write_table(
             head = os.path.join(meta, "HEAD")
             if os.path.exists(head):
                 os.remove(head)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        staged.write.partitionBy("dt", "bucket").mode(
+            "overwrite" if mode == "overwrite" else "append"
+        ).parquet(data_path)
 
     all_files = _list_data_files(root)
     new_files = [p for p in all_files if p not in prev_files]
@@ -368,15 +378,21 @@ def _zorder_indices(tbl, cols: list[str]):
     import pandas as pd
 
     n = len(tbl)
+    k = len(cols)
+    # interleaved code must fit 64 bits: cap per-column precision at
+    # floor(64/k) (uint64 shifts >= 64 silently produce 0 in numpy,
+    # which would drop the HIGH-order bits and destroy clustering —
+    # r02 review)
+    bits = min(16, 64 // k)
+    top = (1 << bits) - 1
     codes = []
     for c in cols:
         s = pd.Series(tbl.column(c).to_pandas())
         rank = s.rank(method="first", na_option="top").to_numpy()
-        q = ((rank - 1) * 65535 / max(n - 1, 1)).astype(np.uint64)
+        q = ((rank - 1) * top / max(n - 1, 1)).astype(np.uint64)
         codes.append(q)
     z = np.zeros(n, dtype=np.uint64)
-    k = len(codes)
-    for bit in range(16):
+    for bit in range(bits):
         for i, q in enumerate(codes):
             z |= ((q >> np.uint64(bit)) & np.uint64(1)) << np.uint64(bit * k + i)
     return np.argsort(z, kind="mergesort")
@@ -687,10 +703,17 @@ def buckets_of_keys(
     type is used (Python int → bigint, str → string)."""
     if not keys:
         return set()
-    df = spark.createDataFrame([(k,) for k in keys], ["k"])  # infer type
-    k = F.col("k").cast(key_type) if key_type else F.col("k")
+    if key_type:
+        # explicit schema: no inference (all-None key lists would fail
+        # type inference — r02 review) and the exact table dtype
+        df = spark.createDataFrame([(k,) for k in keys], f"k {key_type}")
+    else:
+        try:
+            df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        except Exception:  # all-None: type-independent (hash of null)
+            df = spark.createDataFrame([(k,) for k in keys], "k string")
     rows = df.select(
-        F.pmod(F.xxhash64(k), F.lit(n_buckets)).alias("b")
+        F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b")
     ).distinct().collect()
     return {r["b"] for r in rows}
 

@@ -105,10 +105,10 @@ def test_whole_stage_codegen_covers_filters(spark, pages_df):
         ), f"{op} not codegen'd"
 
 
-def test_hot_key_routes_union_to_cogroup(spark, tmp_path_factory):
-    """VERDICT r01 #6: a planted ~30%-hot key (detected from manifest
-    stats alone) flips an auto-chosen union plan to cogroup; results are
-    identical either way."""
+def test_hot_key_routes_to_sliced(spark, tmp_path_factory):
+    """VERDICT r01 #6 + r02: a planted ~30%-hot key (detected from
+    manifest stats alone) flips the auto-chosen plan to the time-sliced
+    strategy; results are identical either way."""
     from datetime import timedelta
 
     from pyspark.sql import Row

@@ -145,3 +145,78 @@ def test_salted_group_agg_with_map_column(spark):
     )
     got = salted_group_agg(df, "k", {"s": ("v", "sum")}, salt=4).orderBy("k").collect()
     assert [(r["k"], r["s"]) for r in got] == [("a", 3.0), ("b", 3.0)]
+
+
+def test_cc_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must raise, never silently
+    split one cluster into several."""
+    from feast_spark.operators.dedupe import connected_components
+
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    comp = {r["id"]: r["component"]
+            for r in connected_components(chain, max_iter=25).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_buckets_of_keys_null_keys(spark):
+    """All-None key lists must not crash type inference (reachable from
+    read_online(keys=[None]) / planner key sampling)."""
+    got = layout.buckets_of_keys(spark, [None], 8, key_type="string")
+    assert len(got) == 1
+    assert layout.buckets_of_keys(spark, [None, None], 8) == got
+
+
+def test_zorder_many_columns_keeps_high_bits():
+    """k=5 zorder columns: uint64 shifts >= 64 silently zero in numpy,
+    which would drop the HIGH rank bits. Property: when every column
+    carries the SAME permutation, the Morton order must be monotone in
+    the value — with dropped high bits it wraps every 2^13 ranks."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(2_000)
+    tbl = pa.table({f"c{j}": vals for j in range(5)})
+    order = layout._zorder_indices(tbl, [f"c{j}" for j in range(5)])
+    assert (vals[order] == np.sort(vals)).all()
+
+
+def test_profile_table_semantics(spark):
+    """profile_table: null fractions, orderable min/max, arrays excluded
+    from min/max, dotted column names (r02 review)."""
+    from feast_spark.operators.text import profile_table
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=None, arr=[1, 2]), Row(a=2, b="x", arr=[]),
+         Row(a=3, b="y", arr=None), Row(a=4, b=None, arr=[3])]
+    ).withColumnRenamed("b", "b.dotted")
+    p = profile_table(df).toPandas().set_index("column")
+    assert p.loc["a", "null_frac"] == 0.0
+    assert p.loc["a", "min"] == "1" and p.loc["a", "max"] == "4"
+    assert p.loc["b.dotted", "null_frac"] == 0.5
+    assert p.loc["arr", "min"] is None and p.loc["arr", "max"] is None
+    assert (p["n_rows"] == 4).all()
+
+
+def test_overwrite_survives_execution_failure(spark, pages_df, tmp_path_factory):
+    """An overwrite whose Spark JOB fails mid-execution (not just
+    analysis) must leave the previous table fully readable — the staged
+    swap only happens after the write succeeds."""
+    root = str(tmp_path_factory.mktemp("owx") / "t")
+    layout.write_table(pages_df.limit(80), root, n_buckets=4)
+    n = layout.read_table(spark, root).count()
+
+    def boom(it):
+        raise RuntimeError("injected executor failure")
+        yield  # pragma: no cover
+
+    bad = pages_df.limit(20).select("url", "warc_ts").mapInPandas(
+        boom, "url string, warc_ts timestamp"
+    )
+    with pytest.raises(Exception):
+        layout.write_table(bad, root, n_buckets=4)
+    assert layout.current_snapshot(root) is not None
+    assert layout.read_table(spark, root).count() == n
