@@ -1441,6 +1441,34 @@ def q_stream_online_upsert(spark, sf_dir):
     )
 
 
+def q_stream_dedupe(spark, sf_dir):
+    """T5 driver-verified: dropDuplicatesWithinWatermark as an actual
+    streaming run — planted duplicate records collapse to the distinct
+    set (streaming/pipeline.py stream_dedupe)."""
+    import uuid
+
+    from feast_spark.streaming.pipeline import stream_dedupe
+
+    stream, _d = _stream_events(spark, sf_dir)
+    # plant duplicates: each record twice (union of the stream with
+    # itself at source level isn't possible — duplicate via explode)
+    doubled = stream.withColumn(
+        "__copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("__copy")
+    dd = stream_dedupe(
+        doubled, keys=("event_id",), ts_col="ts", watermark="1 hour"
+    )
+    name = "d" + uuid.uuid4().hex[:12]
+    q = (
+        dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_stream_static_enrich(spark, sf_dir):
     """Stream-static join driver-verified: each streamed event is
     enriched with its user's LATEST feature row from the serving store
@@ -1572,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
+        "stream_dedupe": q_stream_dedupe,
         "layout_upsert": q_layout_upsert,
         "table_history": q_table_history,
         "table_profile": q_table_profile,
@@ -1824,6 +1853,10 @@ def _oracles() -> dict[str, str]:
                      ELSE 'https://e.f/q?a=2&z=' || doc_id
                    END AS curl
             FROM documents
+        """,
+        "stream_dedupe": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events
         """,
         "stream_static_enrich": """
             WITH latest AS (

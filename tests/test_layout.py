@@ -507,3 +507,51 @@ def test_write_table_distributed_stats(spark, pages_df, tmp_path_factory):
         for f in layout.current_snapshot(b)["files"]
     ]
     assert sorted(fa) == sorted(fb) and fa
+
+
+def test_upsert_randomized_vs_pandas_reference(spark, tmp_path_factory):
+    """Randomized MERGE sequences (updates, inserts, deletes over random
+    key subsets) must equal a pandas dict reference after every step."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(17)
+    root = str(tmp_path_factory.mktemp("upsfuzz") / "t")
+
+    def mk_rows(ids, val_off=0):
+        return [
+            Row(url=f"https://r.example/{i}",
+                warc_ts=f"2023-06-{1 + (i % 28):02d} 00:00:00",
+                v=float(i + val_off))
+            for i in ids
+        ]
+
+    base_ids = list(range(60))
+    src = spark.createDataFrame(mk_rows(base_ids)).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    layout.write_table(src, root, key_col="url", ts_col="warc_ts",
+                       n_buckets=4, dt_granularity="month")
+    ref = {r["url"]: (r["warc_ts"], r["v"]) for r in src.collect()}
+
+    for step in range(4):
+        upd_ids = rng.choice(90, size=12, replace=False).tolist()
+        upd = spark.createDataFrame(
+            mk_rows(upd_ids, val_off=1000 * (step + 1))
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        del_ids = rng.choice(90, size=4, replace=False).tolist()
+        dele = spark.createDataFrame(mk_rows(del_ids)).withColumn(
+            "warc_ts", F.col("warc_ts").cast("timestamp")
+        )
+        layout.upsert_table(spark, root, upd)
+        for r in upd.collect():
+            ref[r["url"]] = (r["warc_ts"], r["v"])
+        layout.upsert_table(spark, root, dele, delete=True)
+        for r in dele.collect():
+            if r["url"] in ref and ref[r["url"]][0] == r["warc_ts"]:
+                del ref[r["url"]]
+        got = {
+            r["url"]: (r["warc_ts"], r["v"])
+            for r in layout.read_table(spark, root).collect()
+        }
+        assert got == ref, f"divergence at step {step}"
