@@ -1045,6 +1045,57 @@ def q_online_store_lookup(spark, sf_dir):
     return out.select("user_id", "ts", F.round("value", 6).alias("value"))
 
 
+def _composite_store(spark, sf_dir):
+    """Materialize a TWO-entity view (bucket = xxhash64(user_id,
+    event_type)) into a temp serving store (VERDICT r02 next #1:
+    composite-key materialization; upstream materialize takes any view)."""
+    import tempfile
+
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+
+    dest = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "store")
+    view = FeatureView(
+        name="ev_comp",
+        entity=[Entity("user", "user_id"), Entity("etype", "event_type")],
+        source=os.path.join(sf_dir, "events.parquet"),
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=8, bucket_batch=8,
+        transform=lambda df: df.select("user_id", "event_type", "ts", "value"),
+    ).run("2023-01-01", "2025-01-01")
+    return dest
+
+
+def q_materialize_composite(spark, sf_dir):
+    """S7 composite-key serving: latest row per (user_id, event_type)
+    tuple via MaterializeJob on a multi-entity view (materialize.py;
+    the r02 NotImplementedError removed)."""
+    from feast_spark.materialize import read_online
+
+    dest = _composite_store(spark, sf_dir)
+    out = read_online(spark, dest)
+    return out.select(
+        "user_id", "event_type", "ts", F.round("value", 6).alias("value")
+    )
+
+
+def q_online_lookup_composite(spark, sf_dir):
+    """S7 composite point lookup: tuple-key probes prune to their
+    xxhash64(k1,k2) buckets, residual filter = broadcast semi-join
+    (materialize.read_online key_cols path)."""
+    from feast_spark.materialize import read_online
+
+    dest = _composite_store(spark, sf_dir)
+    keys = [(u, t) for u in range(0, 30) for t in ("view", "click")]
+    out = read_online(spark, dest, keys=keys, key_cols=["user_id", "event_type"])
+    return out.select(
+        "user_id", "event_type", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_field_mapping_rename(spark, sf_dir):
     """P2 driver-verified: FeatureView.field_mapping renames source
     columns at load (upstream spark_source field_mapping); retrieval then
@@ -1591,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_prune_scan": q_layout_prune_scan,
         "layout_time_travel": q_layout_time_travel,
         "online_store_lookup": q_online_store_lookup,
+        "materialize_composite": q_materialize_composite,
+        "online_lookup_composite": q_online_lookup_composite,
         "field_mapping_rename": q_field_mapping_rename,
         "kafka_decode": q_kafka_decode,
         "odfv_transform": q_odfv_transform,
@@ -1930,6 +1983,27 @@ def _oracles() -> dict[str, str]:
                        ORDER BY ts DESC) AS rn
               FROM events
               WHERE user_id < 40
+                AND ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
+            ) WHERE rn = 1
+        """,
+        "materialize_composite": """
+            SELECT user_id, event_type, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, event_type, ts, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC) AS rn
+              FROM events
+              WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
+            ) WHERE rn = 1
+        """,
+        "online_lookup_composite": """
+            SELECT user_id, event_type, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, event_type, ts, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC) AS rn
+              FROM events
+              WHERE user_id < 30 AND event_type IN ('view', 'click')
                 AND ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
             ) WHERE rn = 1
         """,

@@ -61,29 +61,55 @@ class MaterializeJob:
         # micro-batches whose event-time bounds collide
         self.lineage_tag = lineage_tag
 
-        if len(getattr(view, "join_keys", [None])) > 1:
-            raise NotImplementedError(
-                "materialization requires a single-entity view; composite "
-                "keys are supported in historical retrieval only"
-            )
         src = view.source
         self._layout_root = (
             str(src)
             if isinstance(src, str) and layout.is_table(str(src))
             else None
         )
+        self._layout_key: str | None = None
         if n_buckets is None:
             if self._layout_root:
                 n_buckets = layout.current_snapshot(self._layout_root)["n_buckets"]
             else:
                 n_buckets = layout.DEFAULT_BUCKETS
         self.n_buckets = n_buckets
+        if self._layout_root:
+            self._layout_key = layout.current_snapshot(self._layout_root)[
+                "key_col"
+            ]
 
-    def _key_col(self) -> str:
+    def _key_cols(self) -> list[str]:
         # a one-element entity LIST is a legal view shape; dereference
-        # via join_keys so it doesn't crash on .join_key (round-2 review)
+        # via join_keys so it doesn't crash on .join_key (round-2 review).
+        # A multi-element list = composite entity key: the store buckets
+        # on xxhash64(k1, k2, …) and serves one row per key TUPLE.
         keys = getattr(self.view, "join_keys", None)
-        return keys[0] if keys else self.view.entity.join_key
+        return list(keys) if keys else [self.view.entity.join_key]
+
+    def _key_types(self) -> list[str] | None:
+        """Spark simpleStrings of the key columns' source dtypes, recorded
+        in store.json so ``read_online`` hashes probe keys with the
+        writer's dtypes without a parquet-footer read on the serving hot
+        path (ADVICE r02). Layout-backed sources resolve them from the
+        snapshot schema (no Spark job); others from the lazy view schema."""
+        keys = self._key_cols()
+        try:
+            if self._layout_root:
+                import json
+
+                from pyspark.sql import types as T
+
+                snap = layout.current_snapshot(self._layout_root)
+                schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            else:
+                schema = self.view.load(self.spark).schema
+            have = {f.name: f.dataType.simpleString() for f in schema.fields}
+            if all(k in have for k in keys):
+                return [have[k] for k in keys]
+        except Exception:
+            return None
+        return None
 
     # -- source ----------------------------------------------------------
     def _input_snapshot(self) -> int | None:
@@ -93,16 +119,21 @@ class MaterializeJob:
 
     def _scan(self, start, end, buckets: list[int]) -> DataFrame:
         ts = self.view.timestamp_field
-        key = self._key_col()
+        keys = self._key_cols()
         if self._layout_root:
             # manifest-pruned read: only files overlapping the range AND
-            # belonging to this bucket batch ever reach Spark
+            # belonging to this bucket batch ever reach Spark. File-level
+            # bucket pruning is valid only when the store's bucket
+            # transform IS the layout's (same single key column) — a
+            # composite or remapped key hashes differently, so those
+            # scans prune on time range alone and filter below.
+            prunable = keys == [self._layout_key]
             df = layout.read_table(
                 self.spark,
                 self._layout_root,
                 start=start,
                 end=end,
-                buckets=set(buckets),
+                buckets=set(buckets) if prunable else None,
             )
         else:
             df = self.view.load(self.spark)
@@ -111,7 +142,7 @@ class MaterializeJob:
             (F.col(ts) >= F.lit(start).cast("timestamp"))
             & (F.col(ts) < F.lit(end).cast("timestamp"))
         )
-        b = layout.bucket_expr(key, self.n_buckets)
+        b = layout.bucket_expr(keys, self.n_buckets)
         # bucket membership is a pure filter here; the write recomputes the
         # bucket id (cheap hash) AFTER the user transform, which may
         # project columns freely
@@ -120,7 +151,7 @@ class MaterializeJob:
     # -- one bucket batch ------------------------------------------------
     def _run_batch(self, start, end, buckets: list[int], snap_id) -> dict:
         ts = self.view.timestamp_field
-        key = self._key_col()
+        keys = self._key_cols()
         t0 = time.monotonic()
 
         df = self._scan(start, end, buckets)
@@ -128,7 +159,7 @@ class MaterializeJob:
             df = self.transform(df)
         latest = latest_per_key(
             df,
-            key=[key],
+            key=keys,
             order=ts,
             created_col=self.view.created_timestamp_column,
         )
@@ -144,11 +175,11 @@ class MaterializeJob:
             old = old.withColumn(ts, F.col(ts).cast("timestamp"))
             merged = latest.unionByName(old, allowMissingColumns=False)
             latest = latest_per_key(
-                merged, key=[key], order=ts,
+                merged, key=keys, order=ts,
                 created_col=self.view.created_timestamp_column,
             )
         latest = latest.withColumn(
-            "__bucket", layout.bucket_expr(key, self.n_buckets)
+            "__bucket", layout.bucket_expr(keys, self.n_buckets)
         )
 
         obs = Observation()
@@ -160,7 +191,7 @@ class MaterializeJob:
         out_tmp = os.path.join(self.dest, "_staging", f"batch-{buckets[0]}")
         (
             latest.repartition("__bucket")
-            .sortWithinPartitions("__bucket", key)
+            .sortWithinPartitions("__bucket", *keys)
             .write.partitionBy("__bucket")
             .mode("overwrite")
             .parquet(out_tmp)
@@ -200,7 +231,8 @@ class MaterializeJob:
         write_store_meta(
             self.dest,
             n_buckets=self.n_buckets,
-            key_col=self._key_col(),
+            key_cols=self._key_cols(),
+            key_types=self._key_types(),
         )
         batches = [
             list(range(b, min(b + self.bucket_batch, self.n_buckets)))
@@ -248,14 +280,29 @@ def _store_meta_path(dest: str) -> str:
 
 
 def write_store_meta(
-    dest: str, *, n_buckets: int, key_col: str, key_type: str | None = None
+    dest: str,
+    *,
+    n_buckets: int,
+    key_col: str | None = None,
+    key_type: str | None = None,
+    key_cols: list[str] | None = None,
+    key_types: list[str] | None = None,
 ) -> None:
     """Persist the store's bucket modulus (ADVICE r01: inferring it from
     ``1+max(bucket dirs)`` is wrong when the top bucket was never written —
     point lookups then hash keys with a different modulus than the writer
     used and silently miss). Atomic tmp+rename; refuses to change the
-    modulus of an existing store."""
+    modulus of an existing store.
+
+    ``key_cols``/``key_types`` (lists) are the canonical form; the scalar
+    ``key_col``/``key_type`` params and json fields are kept for
+    single-key stores written before composite support."""
     import json
+
+    if key_cols is None:
+        key_cols = [key_col] if key_col else []
+    if key_types is None and key_type:
+        key_types = [key_type]
 
     path = _store_meta_path(dest)
     prior = read_store_meta(dest)
@@ -266,20 +313,28 @@ def write_store_meta(
                 f"{prior['n_buckets']}, cannot re-materialize with "
                 f"{n_buckets}"
             )
-        if key_type and not prior.get("key_type"):
-            prior["key_type"] = key_type  # backfill for older stores
+        if key_types and not prior.get("key_types") and not prior.get("key_type"):
+            # backfill dtypes for older stores
+            prior["key_types"] = key_types
+            if len(key_types) == 1:
+                prior["key_type"] = key_types[0]
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(prior, f)
             os.replace(tmp, path)
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    meta = {
+        "n_buckets": n_buckets,
+        "key_cols": key_cols,
+        "key_types": key_types,
+    }
+    if len(key_cols) == 1:  # scalar aliases for pre-composite readers
+        meta["key_col"] = key_cols[0]
+        meta["key_type"] = key_types[0] if key_types else None
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(
-            {"n_buckets": n_buckets, "key_col": key_col, "key_type": key_type},
-            f,
-        )
+        json.dump(meta, f)
     os.replace(tmp, path)
 
 
@@ -320,33 +375,48 @@ def materialize_incremental(
 def read_online(
     spark: SparkSession,
     dest: str,
-    keys: list[str] | None = None,
+    keys: list | None = None,
     *,
     key_col: str = "url",
+    key_cols: list[str] | None = None,
 ):
     """Read the serving store (one row per entity key). With ``keys``,
     prunes to just those keys' bucket directories before scanning — a KV
-    point-lookup's batch equivalent."""
+    point-lookup's batch equivalent.
+
+    Composite-key stores: pass ``key_cols=[k1, k2, …]`` and ``keys`` as a
+    list of tuples; pruning hashes the tuples with the writer's
+    transform, and the residual filter is a broadcast semi-join against
+    the (tiny) probe set."""
     data = os.path.join(dest, layout.DATA_DIR)
+    meta = read_store_meta(dest)
+    if key_cols is None:
+        key_cols = (meta or {}).get("key_cols") or [key_col]
     if keys is None:
         return spark.read.parquet(data)
     dirs = sorted(d for d in os.listdir(data) if d.startswith("bucket="))
-    meta = read_store_meta(dest)
     if meta is not None:
         n_buckets = meta["n_buckets"]
     else:  # legacy store without metadata: best-effort inference
         n_buckets = 1 + max(int(d.split("=")[1]) for d in dirs)
-    # hash probe keys with the STORE's key dtype (int vs bigint vs string
+    # hash probe keys with the STORE's key dtypes (int vs bigint vs string
     # all hash differently under xxhash64 — r02 review). Persisted in
     # store.json; fall back to ONE bucket dir's footer, never a
     # full-store listing (hot serving path).
-    key_type = (meta or {}).get("key_type")
-    if not key_type:
-        key_type = (
-            spark.read.parquet(os.path.join(data, dirs[0]))
-            .schema[key_col].dataType.simpleString()
+    key_types = (meta or {}).get("key_types")
+    if not key_types and (meta or {}).get("key_type"):
+        key_types = [meta["key_type"]]
+    if not key_types:
+        sch = spark.read.parquet(os.path.join(data, dirs[0])).schema
+        key_types = [sch[c].dataType.simpleString() for c in key_cols]
+    if len(key_cols) == 1:
+        wanted = layout.buckets_of_keys(
+            spark, keys, n_buckets, key_type=key_types[0]
         )
-    wanted = layout.buckets_of_keys(spark, keys, n_buckets, key_type=key_type)
+    else:
+        wanted = layout.buckets_of_key_tuples(
+            spark, keys, n_buckets, key_types=key_types
+        )
     paths = [
         os.path.join(data, d)
         for d in dirs
@@ -355,4 +425,9 @@ def read_online(
     if not paths:
         empty = spark.read.parquet(os.path.join(data, dirs[0])).limit(0)
         return empty
-    return spark.read.parquet(*paths).filter(F.col(key_col).isin(keys))
+    out = spark.read.parquet(*paths)
+    if len(key_cols) == 1:
+        return out.filter(F.col(key_cols[0]).isin(keys))
+    schema = ", ".join(f"{c} {t}" for c, t in zip(key_cols, key_types))
+    probe = spark.createDataFrame([tuple(k) for k in keys], schema).distinct()
+    return out.join(F.broadcast(probe), on=key_cols, how="left_semi")

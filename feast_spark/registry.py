@@ -119,6 +119,39 @@ class OnDemandFeatureView:
     schema: list[tuple[str, str]]  # [(out_col, spark dtype), ...]
 
 
+def _global_loads(code) -> set:
+    """All LOAD_GLOBAL names a code object (and its nested code) touches."""
+    import dis
+
+    names = {
+        i.argval
+        for i in dis.get_instructions(code)
+        if i.opname == "LOAD_GLOBAL"
+    }
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            names |= _global_loads(const)
+    return names
+
+
+def _allowed_globals() -> set:
+    """Names a registry src-transform may reach: numpy/pandas aliases plus
+    builtins MINUS the escape hatches (import/eval/exec/open/attr
+    manipulation). Enforced symmetrically at save AND load time — write
+    access to registry.json must not become arbitrary driver code
+    execution on FeatureStore construction (ADVICE r02). Not a perfect
+    sandbox (pandas itself has IO functions); it is the same trust model
+    as upstream's dill registry, narrowed to declared-dependency code."""
+    import builtins
+
+    banned = {
+        "__import__", "eval", "exec", "compile", "open", "input",
+        "breakpoint", "globals", "locals", "vars", "getattr", "setattr",
+        "delattr", "exit", "quit",
+    }
+    return ({"np", "numpy", "pd", "pandas"} | set(dir(builtins))) - banned
+
+
 def _serialize_transform(t: Callable) -> dict | None:
     """Persistable form of an ODFV transform (upstream feast serializes
     transforms into the registry via dill; here it's code-as-config with
@@ -152,26 +185,11 @@ def _serialize_transform(t: Callable) -> dict | None:
     if inspect.getclosurevars(t).nonlocals:
         return None  # closure state can't round-trip through text
     # the deserialization namespace carries only numpy/pandas: any other
-    # module-level global would serialize fine and then NameError at
-    # serving time — refuse up front (r02 review). Attribute accesses
-    # don't count (getclosurevars' "unbound" conflates them), so scan
-    # the bytecode for actual LOAD_GLOBAL names instead.
-    import builtins
-    import dis
-
-    def global_loads(code) -> set:
-        names = {
-            i.argval
-            for i in dis.get_instructions(code)
-            if i.opname == "LOAD_GLOBAL"
-        }
-        for const in code.co_consts:
-            if hasattr(const, "co_code"):
-                names |= global_loads(const)
-        return names
-
-    allowed = {"np", "numpy", "pd", "pandas"}
-    if global_loads(t.__code__) - allowed - set(dir(builtins)):
+    # module-level global would serialize fine and then NameError (or be
+    # refused) at serving time — refuse up front (r02 review). Attribute
+    # accesses don't count (getclosurevars' "unbound" conflates them), so
+    # scan the bytecode for actual LOAD_GLOBAL names instead.
+    if _global_loads(t.__code__) - _allowed_globals():
         return None
     return {"src": src, "fn": name}
 
@@ -182,11 +200,36 @@ def _deserialize_transform(blob: dict) -> Callable:
     if "ref" in blob:
         mod, _, fn = blob["ref"].partition(":")
         return getattr(importlib.import_module(mod), fn)
+    import ast
+
     import numpy
     import pandas
 
+    # Validate BEFORE exec (ADVICE r02 — the save-time allowlist does not
+    # constrain what a tampered registry.json executes): the module body
+    # must be exactly one plain def of the declared name, and the COMPILED
+    # module code (covering decorators, defaults, and the body via nested
+    # code objects) may only LOAD_GLOBAL allowlisted names.
+    tree = ast.parse(blob["src"])
+    if not (
+        len(tree.body) == 1
+        and isinstance(tree.body[0], ast.FunctionDef)
+        and tree.body[0].name == blob["fn"]
+        and not tree.body[0].decorator_list
+    ):
+        raise ValueError(
+            f"registry transform {blob.get('fn')!r}: src must be a single "
+            "undecorated def of that name"
+        )
+    code = compile(tree, "<feast_spark_registry>", "exec")
+    bad = _global_loads(code) - _allowed_globals()
+    if bad:
+        raise ValueError(
+            f"registry transform {blob['fn']!r} references disallowed "
+            f"globals {sorted(bad)}; use the {{'ref': 'module:name'}} form"
+        )
     ns: dict = {"np": numpy, "numpy": numpy, "pd": pandas, "pandas": pandas}
-    exec(blob["src"], ns)  # noqa: S102 — registry code-as-config (see above)
+    exec(code, ns)  # noqa: S102 — validated code-as-config (see above)
     return ns[blob["fn"]]
 
 
@@ -368,19 +411,23 @@ class FeatureStore:
     def get_online_features(
         self,
         store_path: str,
-        keys: list[str],
+        keys: list,
         *,
         key_col: str | None = None,
+        key_cols: list[str] | None = None,
         odfvs: list[str] | None = None,
     ) -> DataFrame:
         """Point-lookup path (upstream get_online_features): read the
-        materialized serving store pruned to the keys' buckets.
+        materialized serving store pruned to the keys' buckets. Composite
+        stores take ``key_cols`` + tuple keys (see read_online).
         ``odfvs`` names registered on-demand views to compute on top of
         the served rows (upstream applies ODFVs at online read too)."""
         from feast_spark.materialize import read_online
 
         kc = key_col or "url"
-        out = read_online(self.spark, store_path, keys, key_col=kc)
+        out = read_online(
+            self.spark, store_path, keys, key_col=kc, key_cols=key_cols
+        )
         for name in odfvs or []:
             from feast_spark.operators.vectorized import on_demand_transform
 

@@ -47,11 +47,13 @@ LINEAGE_DIR = "lineage"
 DEFAULT_BUCKETS = 16
 
 
-def bucket_expr(key_col: str, n_buckets: int) -> Column:
+def bucket_expr(key_col: str | list[str], n_buckets: int) -> Column:
     """Iceberg ``bucket(B, key)`` transform — the SAME expression the
     cogroup PIT strategy repartitions with, so layout-aligned joins
-    shuffle on a precomputed id."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+    shuffle on a precomputed id. A list = composite key, hashed as
+    ``xxhash64(k1, k2, …)`` (same as operators.asof's composite path)."""
+    cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_buckets))
 
 
 _DT_PATTERNS = {"day": "yyyy-MM-dd", "week": "yyyy-ww", "month": "yyyy-MM"}
@@ -94,6 +96,16 @@ def write_table(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     prev = current_snapshot(root) if mode == "append" else None
+    if mode == "append" and prev is None and os.path.isdir(
+        os.path.join(root, DATA_DIR)
+    ):
+        # data without a committed HEAD = a crashed overwrite (ADVICE
+        # r02): appending would silently sweep the orphaned files into a
+        # fresh snapshot. Fail loudly; re-running the overwrite heals.
+        raise RuntimeError(
+            f"table at {root} has data but no committed HEAD "
+            "(interrupted overwrite?); re-run the overwrite to heal"
+        )
     if prev and prev.get("n_buckets") != n_buckets:
         raise ValueError(
             f"append changes n_buckets ({prev.get('n_buckets')} -> "
@@ -143,21 +155,23 @@ def write_table(
         stage = os.path.join(root, "_staging", "overwrite")
         shutil.rmtree(stage, ignore_errors=True)
         staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(stage)
+        # drop HEAD FIRST (ADVICE r02): a crash mid-swap then leaves the
+        # table loudly uninitialized (reads/appends raise) instead of a
+        # HEAD silently pointing at files that moved to data.old
+        meta = os.path.join(root, META_DIR)
+        if os.path.isdir(meta):
+            head = os.path.join(meta, "HEAD")
+            if os.path.exists(head):
+                os.remove(head)
         old = data_path + ".old"
         shutil.rmtree(old, ignore_errors=True)
         os.replace(data_path, old)
         os.replace(stage, data_path)
-        # only now is the old metadata stale (its files just moved away):
-        # drop snap-*.json / lineage / HEAD, then the saved data
-        meta = os.path.join(root, META_DIR)
         if os.path.isdir(meta):
             for name in os.listdir(meta):
                 if name.startswith("snap-") and name.endswith(".json"):
                     os.remove(os.path.join(meta, name))
             shutil.rmtree(os.path.join(meta, LINEAGE_DIR), ignore_errors=True)
-            head = os.path.join(meta, "HEAD")
-            if os.path.exists(head):
-                os.remove(head)
         shutil.rmtree(old, ignore_errors=True)
     else:
         staged.write.partitionBy("dt", "bucket").mode(
@@ -270,12 +284,19 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
             name = names[ci] if ci < len(names) else col.path_in_schema
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    dropped.add(name)
+                    continue
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError casting stats of
+                # some logical types (e.g. Spark's FIXED_LEN_BYTE_ARRAY
+                # decimals) — treat as no stats
                 dropped.add(name)
                 continue
-            lo, hi = st.min, st.max
             # key/ts always keep full stats (planner + hot-key detection
             # depend on exact values); other columns respect the cap
             if name not in (key_col, ts_col) and (
@@ -295,11 +316,21 @@ def _file_stats(abs_path: str, rel_path: str, key_col: str, ts_col: str) -> dict
     def _iso(v):
         return v.isoformat() if hasattr(v, "isoformat") else v
 
-    cols = {
-        name: [_iso(min(mins[name])), _iso(max(maxs[name]))]
-        for name in mins
-        if name not in dropped
-    }
+    def _json_safe(v):
+        # snapshots are json.dump'd: parquet stats of decimal columns come
+        # back as decimal.Decimal and binary columns as bytes — neither is
+        # serializable, so a stat pair is kept only when both bounds are
+        # plain json scalars (ADVICE r02). The column just loses manifest
+        # pruning; the data is untouched.
+        return v is None or isinstance(v, (bool, int, float, str))
+
+    cols = {}
+    for name in mins:
+        if name in dropped:
+            continue
+        lo, hi = _iso(min(mins[name])), _iso(max(maxs[name]))
+        if _json_safe(lo) and _json_safe(hi):
+            cols[name] = [lo, hi]
     return {
         "path": rel_path,
         "dt": dt,
@@ -714,6 +745,32 @@ def buckets_of_keys(
             df = spark.createDataFrame([(k,) for k in keys], "k string")
     rows = df.select(
         F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b")
+    ).distinct().collect()
+    return {r["b"] for r in rows}
+
+
+def buckets_of_key_tuples(
+    spark: SparkSession,
+    keys: list[tuple],
+    n_buckets: int,
+    key_types: list[str] | None = None,
+) -> set[int]:
+    """Composite-key twin of ``buckets_of_keys``: the bucket of a key
+    TUPLE is ``pmod(xxhash64(k1, k2, …), B)`` — the multi-column hash the
+    writer used. ``key_types`` (Spark simpleStrings, one per key column)
+    pins the dtypes for the same hash-stability reason as the scalar
+    path."""
+    if not keys:
+        return set()
+    width = len(keys[0])
+    names = [f"k{i}" for i in range(width)]
+    if key_types:
+        schema = ", ".join(f"{n} {t}" for n, t in zip(names, key_types))
+        df = spark.createDataFrame([tuple(k) for k in keys], schema)
+    else:
+        df = spark.createDataFrame([tuple(k) for k in keys], names)
+    rows = df.select(
+        F.pmod(F.xxhash64(*names), F.lit(n_buckets)).alias("b")
     ).distinct().collect()
     return {r["b"] for r in rows}
 

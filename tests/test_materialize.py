@@ -216,3 +216,101 @@ def test_point_lookup_with_unwritten_top_bucket(spark, tmp_path_factory):
         MaterializeJob(
             spark, view, dest, n_buckets=4, bucket_batch=4, transform=_transform
         ).run(START, END)
+
+
+# ----------------------------------------------------- composite keys ------
+
+
+@pytest.fixture(scope="module")
+def composite_src(spark, tmp_path_factory):
+    """(user, device) composite-key feature rows with several revisions."""
+    from pyspark.sql import Row
+
+    rows = []
+    for u in range(40):
+        for dev in ("ios", "android", "web"):
+            for rev in range(3):
+                rows.append(
+                    Row(
+                        user=f"u{u}",
+                        device=dev,
+                        ts=f"2023-12-{10 + rev:02d} 00:00:00",
+                        score=float(u * 10 + rev),
+                    )
+                )
+    path = str(tmp_path_factory.mktemp("comp") / "src.parquet")
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(path)
+    return path
+
+
+def _composite_view(path) -> FeatureView:
+    return FeatureView(
+        name="comp",
+        entity=[Entity("user", "user"), Entity("device", "device")],
+        source=path,
+        features=[FeatureSpec("score", "double")],
+        timestamp_field="ts",
+    )
+
+
+def test_materialize_composite_latest(spark, composite_src, tmp_path_factory):
+    """VERDICT r02 next #1: multi-entity views materialize — one serving
+    row per (user, device) TUPLE, the latest revision of each."""
+    dest = str(tmp_path_factory.mktemp("comp_out") / "store")
+    MaterializeJob(
+        spark, _composite_view(composite_src), dest, n_buckets=4, bucket_batch=2
+    ).run(START, END)
+    got = read_online(spark, dest).toPandas()
+    assert len(got) == 40 * 3  # one row per tuple, not per user
+    assert (got["score"] % 10 == 2).all()  # rev 2 = latest everywhere
+    # store meta records the composite key + dtypes
+    from feast_spark.materialize import read_store_meta
+
+    meta = read_store_meta(dest)
+    assert meta["key_cols"] == ["user", "device"]
+    assert meta["key_types"] == ["string", "string"]
+
+
+def test_materialize_composite_resume(spark, composite_src, tmp_path_factory):
+    """Kill after 1 of 2 bucket batches; the resumed run skips the done
+    batch and the store equals an uninterrupted one."""
+    base = tmp_path_factory.mktemp("comp_resume")
+    d_full, d_part = str(base / "full"), str(base / "part")
+    view = _composite_view(composite_src)
+    MaterializeJob(spark, view, d_full, n_buckets=4, bucket_batch=2).run(START, END)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        MaterializeJob(
+            spark, view, d_part, n_buckets=4, bucket_batch=2,
+            fail_after_batches=1,
+        ).run(START, END)
+    summary = MaterializeJob(
+        spark, view, d_part, n_buckets=4, bucket_batch=2
+    ).run(START, END)
+    assert summary["batches_skipped"] == 1
+    a = read_online(spark, d_full)
+    b = read_online(spark, d_part)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_composite_point_lookup(spark, composite_src, tmp_path_factory):
+    """Tuple-key point lookup: bucket pruning via xxhash64(k1,k2) plus a
+    broadcast semi-join residual — returns exactly the probed tuples."""
+    dest = str(tmp_path_factory.mktemp("comp_pl") / "store")
+    MaterializeJob(
+        spark, _composite_view(composite_src), dest, n_buckets=8, bucket_batch=8
+    ).run(START, END)
+    probes = [("u1", "ios"), ("u2", "web"), ("u1", "web"), ("u99", "ios")]
+    got = read_online(
+        spark, dest, keys=probes, key_cols=["user", "device"]
+    ).toPandas()
+    assert sorted(zip(got["user"], got["device"])) == sorted(probes[:3])
+    # and through the FeatureStore facade
+    from feast_spark.registry import FeatureStore
+
+    fs = FeatureStore(spark)
+    got2 = fs.get_online_features(
+        dest, [("u3", "android")], key_cols=["user", "device"]
+    ).toPandas()
+    assert len(got2) == 1 and got2["score"][0] == 32.0

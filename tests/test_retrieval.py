@@ -234,7 +234,15 @@ def test_composite_entity_view_retrieval(spark, tmp_path_factory):
     assert out[("a", "x")] == 1.0 and out[("a", "y")] == 2.0
     assert out[("b", "y")] is None
 
-    from feast_spark.materialize import MaterializeJob
+    # composite views also MATERIALIZE since r03 (VERDICT r02 next #1):
+    # one serving row per (u, t) tuple — details in test_materialize.py
+    from feast_spark.materialize import MaterializeJob, read_online
 
-    with pytest.raises(NotImplementedError, match="single-entity"):
-        MaterializeJob(spark, view, str(d / "store"))
+    dest = str(d / "store")
+    MaterializeJob(spark, view, dest, n_buckets=4, bucket_batch=4).run(
+        "2023-01-01", "2024-01-01"
+    )
+    served = {
+        (r["u"], r["t"]): r["v"] for r in read_online(spark, dest).collect()
+    }
+    assert served[("a", "x")] == 1.0 and served[("a", "y")] == 2.0
