@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from feast_spark.operators.windows import latest_per_key
+from feast_spark.sources import fileio
 from feast_spark.sources import pages as layout
 
 
@@ -197,20 +198,16 @@ class MaterializeJob:
             .parquet(out_tmp)
         )
         metrics = obs.get
-        # atomically swap each bucket dir into the serving store
+        # swap each bucket dir into the serving store through the FileIO
+        # seam (object-store impls replace the rename pair with prefix
+        # versioning — fileio.py docstring)
+        io = fileio.get_io()
         for b in buckets:
             src_dir = os.path.join(out_tmp, f"__bucket={b}")
             dst_dir = os.path.join(self.dest, layout.DATA_DIR, f"bucket={b}")
             os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
             if os.path.isdir(src_dir):
-                import shutil
-
-                bak = dst_dir + ".old"
-                shutil.rmtree(bak, ignore_errors=True)  # stale crash leftovers
-                if os.path.isdir(dst_dir):
-                    os.replace(dst_dir, bak)
-                os.replace(src_dir, dst_dir)
-                shutil.rmtree(bak, ignore_errors=True)
+                io.swap_dir(src_dir, dst_dir)
         wall_ms = int((time.monotonic() - t0) * 1000)
         max_ts = metrics["max_event_ts"]
         return {
@@ -318,12 +315,8 @@ def write_store_meta(
             prior["key_types"] = key_types
             if len(key_types) == 1:
                 prior["key_type"] = key_types[0]
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(prior, f)
-            os.replace(tmp, path)
+            fileio.get_io().write_atomic(path, json.dumps(prior))
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     meta = {
         "n_buckets": n_buckets,
         "key_cols": key_cols,
@@ -332,10 +325,7 @@ def write_store_meta(
     if len(key_cols) == 1:  # scalar aliases for pre-composite readers
         meta["key_col"] = key_cols[0]
         meta["key_type"] = key_types[0] if key_types else None
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, path)
+    fileio.get_io().write_atomic(path, json.dumps(meta))
 
 
 def read_store_meta(dest: str) -> dict | None:

@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from feast_spark.sources.fileio import get_io
+
 DATA_DIR = "data"
 META_DIR = "metadata"
 LINEAGE_DIR = "lineage"
@@ -150,29 +152,21 @@ def write_table(
         # leaves the old data + metadata untouched; the crash window
         # shrinks to the two renames, after which data.old still holds
         # every byte.
-        import shutil
-
+        io = get_io()
         stage = os.path.join(root, "_staging", "overwrite")
-        shutil.rmtree(stage, ignore_errors=True)
+        io.rmtree(stage)
         staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(stage)
         # drop HEAD FIRST (ADVICE r02): a crash mid-swap then leaves the
         # table loudly uninitialized (reads/appends raise) instead of a
         # HEAD silently pointing at files that moved to data.old
         meta = os.path.join(root, META_DIR)
-        if os.path.isdir(meta):
-            head = os.path.join(meta, "HEAD")
-            if os.path.exists(head):
-                os.remove(head)
-        old = data_path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(data_path, old)
-        os.replace(stage, data_path)
+        io.remove(os.path.join(meta, "HEAD"))
+        io.swap_dir(stage, data_path)
         if os.path.isdir(meta):
             for name in os.listdir(meta):
                 if name.startswith("snap-") and name.endswith(".json"):
-                    os.remove(os.path.join(meta, name))
-            shutil.rmtree(os.path.join(meta, LINEAGE_DIR), ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+                    io.remove(os.path.join(meta, name))
+            io.rmtree(os.path.join(meta, LINEAGE_DIR))
     else:
         staged.write.partitionBy("dt", "bucket").mode(
             "overwrite" if mode == "overwrite" else "append"
@@ -383,19 +377,15 @@ def collect_stats_distributed(
 
 
 def _commit_snapshot(root: str, snapshot: dict) -> None:
-    """Atomic single-writer commit: write snap file, then flip HEAD via
-    tmp+rename (the crash-consistent subset of Iceberg's commit)."""
+    """Atomic single-writer commit: write snap file, then flip HEAD (the
+    crash-consistent subset of Iceberg's commit). Both publications go
+    through the FileIO seam — the HEAD flip is the ONE operation an
+    object-store deployment must make conditional (fileio.py docstring)."""
+    io = get_io()
     meta = os.path.join(root, META_DIR)
-    os.makedirs(meta, exist_ok=True)
     snap_name = f"snap-{snapshot['snapshot_id']:06d}.json"
-    tmp = os.path.join(meta, snap_name + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(snapshot, f)
-    os.replace(tmp, os.path.join(meta, snap_name))
-    head_tmp = os.path.join(meta, "HEAD.tmp")
-    with open(head_tmp, "w") as f:
-        f.write(snap_name)
-    os.replace(head_tmp, os.path.join(meta, "HEAD"))
+    io.write_atomic(os.path.join(meta, snap_name), json.dumps(snapshot))
+    io.write_atomic(os.path.join(meta, "HEAD"), snap_name)
 
 
 def _zorder_indices(tbl, cols: list[str]):
@@ -588,16 +578,17 @@ def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
         )
     drop_files -= keep_files
 
+    io = get_io()
     freed = 0
     removed = 0
     for rel in sorted(drop_files):
         p = os.path.join(root, rel)
         if os.path.exists(p):
             freed += os.path.getsize(p)
-            os.remove(p)
+            io.remove(p)
             removed += 1
     for name in expired:
-        os.remove(os.path.join(meta, name))
+        io.remove(os.path.join(meta, name))
     return {
         "snapshots_removed": len(expired),
         "files_removed": removed,
@@ -787,11 +778,9 @@ def write_lineage(root: str, partition_id: str, record: dict) -> None:
     snapshot, row counts, max event_ts) — atomic tmp+rename; doubles as
     the materialization checkpoint."""
     path = lineage_path(root, partition_id)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"partition_id": partition_id, **record}, f)
-    os.replace(tmp, path)
+    get_io().write_atomic(
+        path, json.dumps({"partition_id": partition_id, **record})
+    )
 
 
 def read_lineage(root: str, partition_id: str) -> dict | None:
@@ -817,12 +806,18 @@ def list_lineage(root: str) -> list[dict]:
 # ------------------------------------------------------------- upsert ------
 
 
+# above this many rewritten files, upsert fans footer reads out across
+# executors instead of a driver-sequential loop (VERDICT r02 next #5)
+UPSERT_DIST_STATS_THRESHOLD = 32
+
+
 def upsert_table(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
     *,
     delete: bool = False,
+    dist_stats_threshold: int = UPSERT_DIST_STATS_THRESHOLD,
 ) -> int:
     """Copy-on-write row-level MERGE (Iceberg's copy-on-write write mode,
     re-derived): rows in ``updates`` REPLACE existing rows sharing the
@@ -929,6 +924,7 @@ def upsert_table(
     )
     staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(stage)
 
+    io = get_io()
     new_paths: list[str] = []
     seq = 0
     for dirpath, dirs, files in os.walk(stage):
@@ -937,18 +933,22 @@ def upsert_table(
             if not fname.endswith(".parquet") or fname.startswith((".", "_")):
                 continue
             rel_dir = os.path.relpath(dirpath, stage)  # dt=.../bucket=...
-            dest_dir = os.path.join(root, DATA_DIR, rel_dir)
-            os.makedirs(dest_dir, exist_ok=True)
             rel = os.path.join(
                 DATA_DIR, rel_dir, f"upsert-{new_snap_id:06d}-{seq:04d}.parquet"
             )
-            os.replace(os.path.join(dirpath, fname), os.path.join(root, rel))
+            io.move(os.path.join(dirpath, fname), os.path.join(root, rel))
             new_paths.append(rel)
             seq += 1
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
-    new_stats = _collect_stats_local(root, new_paths, key_col, ts_col)
+    io.rmtree(stage)
+    # a wide upsert touching many buckets must not serialize footer reads
+    # on the driver: route through the executor fan-out above the
+    # threshold (same path write_table(distributed_stats=True) uses)
+    if len(new_paths) > dist_stats_threshold:
+        new_stats = collect_stats_distributed(
+            spark, root, new_paths, key_col, ts_col
+        )
+    else:
+        new_stats = _collect_stats_local(root, new_paths, key_col, ts_col)
     new_snap = {
         **snap,
         "snapshot_id": new_snap_id,

@@ -62,9 +62,11 @@ def test_salted_group_agg_exact(spark, pages_df):
 
 
 def test_salted_group_agg_rejects_nondecomposable(spark, pages_df):
+    # avg/stddev are composed since r03; truly order/set-dependent
+    # aggregates still refuse
     d = pages_df.select(domain_of("url").alias("domain"), F.length("text").alias("n"))
     with pytest.raises(ValueError, match="non-decomposable"):
-        salted_group_agg(d, "domain", {"m": ("n", "avg")})
+        salted_group_agg(d, "domain", {"m": ("n", "median")})
 
 
 def test_plan_salting(spark, pages_df):
@@ -103,3 +105,45 @@ def test_salted_count_null_semantics_and_determinism(spark):
         df, "k", {"n": ("v", "count"), "n_star": ("*", "count")}, salt=4
     ).orderBy("k").collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_salted_group_agg_moments_match_plain(spark):
+    """VERDICT r02 next #6: avg/stddev are built-in moment compositions —
+    results equal plain groupBy().agg(avg, stddev_samp) including the
+    null edges (all-null group → NULL; single value → NULL stddev)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from feast_spark.operators.skew import salted_group_agg
+
+    rows = [Row(k=f"k{i % 7}", v=float(i * i % 97)) for i in range(500)]
+    rows += [Row(k="single", v=3.5), Row(k="allnull", v=None)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["k"]: (r["m"], r["sd"], r["n"])
+        for r in salted_group_agg(
+            df, "k",
+            {"m": ("v", "avg"), "sd": ("v", "stddev"), "n": ("v", "count")},
+            salt=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["m"], r["sd"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.avg("v").alias("m"),
+            F.stddev_samp("v").alias("sd"),
+            F.count("v").alias("n"),
+        )
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            if w is None:
+                assert g is None, (k, got[k], want[k])
+            elif isinstance(w, float):
+                assert math.isclose(g, w, rel_tol=1e-9), (k, got[k], want[k])
+            else:
+                assert g == w, (k, got[k], want[k])
