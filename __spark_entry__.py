@@ -1107,6 +1107,100 @@ def q_materialize_composite(spark, sf_dir):
     )
 
 
+def q_feature_service_retrieval(spark, sf_dir):
+    """Upstream FeatureService: consumers retrieve by service name; the
+    service resolves to its views' refs (registry.FeatureService;
+    upstream feast/feature_service.py). Semantics must equal direct
+    multi-view retrieval — same oracle as pit_two_views_prefixed."""
+    from feast_spark.registry import (
+        Entity,
+        FeatureService,
+        FeatureSpec,
+        FeatureStore,
+        FeatureView,
+    )
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="ev_val",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id", F.col("ts").alias("ets"), "value"
+            ),
+            features=[FeatureSpec("value", "double")],
+            ttl=timedelta(seconds=PIT_TTL_S),
+            timestamp_field="ets",
+        )
+    )
+    store.apply(
+        FeatureView(
+            name="ev_dbl",
+            entity=Entity("user_id", "user_id"),
+            source=lambda sp: _t(sp, sf_dir, "events").select(
+                "user_id",
+                F.col("ts").alias("ets"),
+                (F.col("value") * 2).alias("v2"),
+            ),
+            features=[FeatureSpec("v2", "double")],
+            ttl=None,
+            timestamp_field="ets",
+        )
+    )
+    store.apply(
+        FeatureService(
+            name="training_v1", features=["ev_val:value", "ev_dbl:v2"]
+        )
+    )
+    out = store.get_historical_features(
+        probes, "training_v1", full_feature_names=True
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("ev_val__value", 6).alias("ev_val__value"),
+        F.round("ev_dbl__v2", 6).alias("ev_dbl__v2"),
+    )
+
+
+def q_push_online(spark, sf_dir):
+    """Upstream PushSource/push(): materialize the store from the batch
+    source, then push a fresh feature batch straight into the serving
+    buckets; the store must serve the newest row per key across both
+    paths (materialize.push_to_online)."""
+    import tempfile
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    dest = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "store")
+    view = FeatureView(
+        name="ev_push",
+        entity=Entity("user_id", "user_id"),
+        source=os.path.join(sf_dir, "events.parquet"),
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="ts",
+    )
+    MaterializeJob(
+        spark, view, dest, n_buckets=8, bucket_batch=8,
+        transform=lambda df: df.select("user_id", "ts", "value"),
+    ).run("2023-01-01", "2025-01-01")
+    # deterministic fresh batch: every user_id < 20 gets a newer row
+    pushed = (
+        _t(spark, sf_dir, "events")
+        .select("user_id").distinct().filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            F.lit("2025-06-01 00:00:00").cast("timestamp").alias("ts"),
+            (F.col("user_id") * 1.5).alias("value"),
+        )
+    )
+    FeatureStore(spark).push(dest, pushed, ts_col="ts")
+    out = read_online(spark, dest)
+    return out.select("user_id", "ts", F.round("value", 6).alias("value"))
+
+
 def q_online_lookup_composite(spark, sf_dir):
     """S7 composite point lookup: tuple-key probes prune to their
     xxhash64(k1,k2) buckets, residual filter = broadcast semi-join
@@ -1630,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "online_store_lookup": q_online_store_lookup,
         "materialize_composite": q_materialize_composite,
         "online_lookup_composite": q_online_lookup_composite,
+        "feature_service_retrieval": q_feature_service_retrieval,
+        "push_online": q_push_online,
         "field_mapping_rename": q_field_mapping_rename,
         "kafka_decode": q_kafka_decode,
         "odfv_transform": q_odfv_transform,
@@ -1638,11 +1734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "grouping_sets": q_grouping_sets,
         "quantiles_per_lang": q_quantiles_per_lang,
-        "cube_lang_source": q_cube_lang_source,
         "star_join_revenue": q_star_join_revenue,
         "salted_join": q_salted_join,
         "range_join_events": q_range_join_events,
-        "order_ship_priority": q_order_ship_priority,
         "salted_group_agg": q_salted_group_agg,
         "salted_group_stats": q_salted_group_stats,
         # LLM-pipeline text ops (round-2 additions)
@@ -1662,6 +1756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         # ---- fold: entries below are typically outside the driver's
         # ---- sample and stay covered by the harness replica pytest
+        "cube_lang_source": q_cube_lang_source,
+        "order_ship_priority": q_order_ship_priority,
         "embedding_near_dup": q_embedding_near_dup,
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
@@ -1710,6 +1806,9 @@ def oracle_sql() -> dict[str, str]:
     # strategy variants share one oracle (semantics must be identical)
     out["pit_created_tiebreak_broadcast"] = out["pit_created_tiebreak"]
     out["pit_created_tiebreak_cogroup"] = out["pit_created_tiebreak"]
+    # a FeatureService resolving to the two views must equal direct
+    # multi-view retrieval
+    out["feature_service_retrieval"] = out["pit_two_views_prefixed"]
     return out
 
 
@@ -2033,6 +2132,24 @@ def _oracles() -> dict[str, str]:
                        ORDER BY ts DESC) AS rn
               FROM events
               WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
+            ) WHERE rn = 1
+        """,
+        "push_online": """
+            SELECT user_id, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC) AS rn
+              FROM (
+                SELECT user_id, ts, value FROM events
+                 WHERE ts >= TIMESTAMP '2023-01-01'
+                   AND ts < TIMESTAMP '2025-01-01'
+                UNION ALL
+                SELECT DISTINCT user_id,
+                       TIMESTAMP '2025-06-01 00:00:00' AS ts,
+                       user_id * 1.5 AS value
+                FROM events WHERE user_id < 20
+              )
             ) WHERE rn = 1
         """,
         "online_lookup_composite": """

@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 
 from feast_spark.registry import (  # noqa: F401
     Entity,
+    FeatureService,
     FeatureSpec,
     FeatureStore,
     FeatureView,

@@ -362,6 +362,75 @@ def materialize_incremental(
     return MaterializeJob(spark, view, dest, **kw).run(start, end)
 
 
+def push_to_online(
+    spark: SparkSession,
+    dest: str,
+    df: DataFrame,
+    *,
+    ts_col: str,
+    created_col: str | None = None,
+) -> dict:
+    """Upstream PushSource write path: merge fresh feature rows straight
+    into the serving store (stream ingestion's terminal step), no batch
+    materialization pass.
+
+    Scale shape: latest-per-key on the pushed batch (small), then a
+    read-modify-write of ONLY the buckets containing pushed keys — the
+    touched-bucket set is bounded by the store modulus, and unaffected
+    buckets are never opened. Swaps go through the FileIO seam like
+    every other commit. Returns {rows_pushed, buckets_touched}."""
+    meta = read_store_meta(dest)
+    if meta is None:
+        raise FileNotFoundError(f"no serving store at {dest} (store.json)")
+    key_cols = meta.get("key_cols") or [meta["key_col"]]
+    n_buckets = meta["n_buckets"]
+
+    df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    latest = latest_per_key(
+        df, key=key_cols, order=ts_col, created_col=created_col
+    )
+    touched = sorted(
+        r["b"]
+        for r in df.select(
+            layout.bucket_expr(key_cols, n_buckets).alias("b")
+        ).distinct().collect()
+    )
+    existing_dirs = [
+        os.path.join(dest, layout.DATA_DIR, f"bucket={b}") for b in touched
+    ]
+    existing_dirs = [d for d in existing_dirs if os.path.isdir(d)]
+    if existing_dirs:
+        old = spark.read.parquet(*existing_dirs)
+        old = old.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        latest = latest_per_key(
+            latest.unionByName(old, allowMissingColumns=False),
+            key=key_cols, order=ts_col, created_col=created_col,
+        )
+    latest = latest.withColumn(
+        "__bucket", layout.bucket_expr(key_cols, n_buckets)
+    )
+    obs = Observation()
+    latest = latest.observe(obs, F.count(F.lit(1)).alias("rows"))
+    out_tmp = os.path.join(dest, "_staging", f"push-{touched[0]}")
+    (
+        latest.repartition("__bucket")
+        .sortWithinPartitions("__bucket", *key_cols)
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(out_tmp)
+    )
+    rows = obs.get["rows"]
+    io = fileio.get_io()
+    for b in touched:
+        src_dir = os.path.join(out_tmp, f"__bucket={b}")
+        dst_dir = os.path.join(dest, layout.DATA_DIR, f"bucket={b}")
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        if os.path.isdir(src_dir):
+            io.swap_dir(src_dir, dst_dir)
+    io.rmtree(out_tmp)
+    return {"rows_pushed": rows, "buckets_touched": touched}
+
+
 def read_online(
     spark: SparkSession,
     dest: str,

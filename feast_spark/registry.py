@@ -106,6 +106,18 @@ class FeatureView:
 
 
 @dataclass
+class FeatureService:
+    """A named group of feature refs retrieved/served as a unit (upstream
+    feast/feature_service.py): consumers depend on the service name, not
+    on which views the features live in — views can be reorganized
+    without breaking training or serving callers."""
+
+    name: str
+    features: list[str]  # "view:feature" (or ODFV) refs, in output order
+    description: str = ""
+
+
+@dataclass
 class OnDemandFeatureView:
     """A pandas row-transform computed at retrieval time on top of
     retrieved features (upstream feast/on_demand_feature_view.py).
@@ -246,6 +258,8 @@ class FeatureStore:
         self.root = root
         self._views: dict[str, FeatureView] = {}
         self._odfvs: dict[str, "OnDemandFeatureView"] = {}
+        self._services: dict[str, FeatureService] = {}
+        self._saved: dict[str, dict] = {}
         if root:
             os.makedirs(root, exist_ok=True)
             self._load_registry()
@@ -285,6 +299,9 @@ class FeatureStore:
                     transform=_deserialize_transform(o["transform"]),
                     schema=[tuple(s) for s in o["schema"]],
                 )
+            for s in meta.get("services", []):
+                self._services[s["name"]] = FeatureService(**s)
+            self._saved = dict(meta.get("saved_datasets", {}))
 
     def _save_registry(self) -> None:
         if not self.root:
@@ -322,14 +339,39 @@ class FeatureStore:
                     "schema": [list(s) for s in odfv.schema],
                 }
             )
+        services = [
+            {"name": s.name, "features": list(s.features),
+             "description": s.description}
+            for s in self._services.values()
+        ]
         tmp = self._registry_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"views": views, "odfvs": odfvs}, f, indent=1)
+            json.dump(
+                {
+                    "views": views,
+                    "odfvs": odfvs,
+                    "services": services,
+                    "saved_datasets": self._saved,
+                },
+                f,
+                indent=1,
+            )
         os.replace(tmp, self._registry_path)
 
     def apply(self, view, validate: bool = False) -> None:
         if isinstance(view, OnDemandFeatureView):
             self._odfvs[view.name] = view
+            self._save_registry()
+            return
+        if isinstance(view, FeatureService):
+            for ref in view.features:
+                name = ref.split(":")[0]
+                if name not in self._views and name not in self._odfvs:
+                    raise ValueError(
+                        f"service {view.name!r} references unknown view "
+                        f"{name!r}; apply the view first"
+                    )
+            self._services[view.name] = view
             self._save_registry()
             return
         if validate:
@@ -369,15 +411,22 @@ class FeatureStore:
     def get_historical_features(
         self,
         entity_df: DataFrame,
-        features: list[str],
+        features: "list[str] | str | FeatureService",
         full_feature_names: bool = False,
         strategy: str | None = None,
     ) -> DataFrame:
         """Point-in-time-correct retrieval (upstream
-        get_historical_features): ``features`` are ``"view:feature"`` refs;
-        entity_df must carry the entity join key + a ``ts`` column.
+        get_historical_features): ``features`` are ``"view:feature"`` refs,
+        a registered :class:`FeatureService` (or its name) resolving to
+        its refs; entity_df must carry the entity join key + a ``ts``
+        column.
         """
         from feast_spark.plans.retrieval import plan_retrieval
+
+        if isinstance(features, FeatureService):
+            features = list(features.features)
+        elif isinstance(features, str):
+            features = list(self._services[features].features)
 
         odfv_refs = [f for f in features if f.split(":")[0] in self._odfvs]
         base_refs = [f for f in features if f not in odfv_refs]
@@ -440,3 +489,39 @@ class FeatureStore:
 
         job = MaterializeJob(self.spark, self.get_view(view_name), dest, **kw)
         return job.run(start, end)
+
+    # -- push source --------------------------------------------------
+    def push(
+        self, store_path: str, df: DataFrame, *, ts_col: str = "warc_ts",
+        created_col: str | None = None,
+    ) -> dict:
+        """Upstream PushSource / ``push()``: land fresh feature rows
+        straight in the online store without a batch materialization pass
+        (the stream-ingestion write path). Merges latest-per-key into
+        ONLY the touched buckets."""
+        from feast_spark.materialize import push_to_online
+
+        return push_to_online(
+            self.spark, store_path, df, ts_col=ts_col, created_col=created_col
+        )
+
+    # -- saved datasets -----------------------------------------------
+    def create_saved_dataset(
+        self, name: str, df: DataFrame, path: str | None = None
+    ) -> str:
+        """Persist a retrieval result for reuse/audit (upstream
+        SavedDataset): parquet + a registry record. Returns the path."""
+        if path is None:
+            if not self.root:
+                raise ValueError("saved datasets need a store root or path")
+            path = os.path.join(self.root, "saved_datasets", name)
+        df.write.mode("errorifexists").parquet(path)
+        self._saved[name] = {
+            "path": path,
+            "columns": [f.name for f in df.schema.fields],
+        }
+        self._save_registry()
+        return path
+
+    def get_saved_dataset(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._saved[name]["path"])

@@ -212,3 +212,122 @@ def test_get_online_features_applies_odfv(spark, pages_df, tmp_path_factory):
     ).toPandas()
     assert len(out) == len(urls)
     assert (out["double_chars"] == 2 * out["n_chars"]).all()
+
+
+# ------------------------------------------- services / push / saved ------
+
+
+def test_feature_service_resolves_and_persists(
+    spark, data_dir, probes_df, tmp_path_factory
+):
+    """Upstream FeatureService: retrieval by service name equals direct
+    refs; services round-trip through registry.json."""
+    import os
+
+    from feast_spark.registry import FeatureService
+
+    root = str(tmp_path_factory.mktemp("svc") / "store")
+    enriched = str(tmp_path_factory.mktemp("svc") / "pg.parquet")
+    spark.read.parquet(os.path.join(data_dir, "pages.parquet")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(enriched)
+
+    s1 = FeatureStore(spark, root=root)
+    s1.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=enriched,
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    with pytest.raises(ValueError, match="unknown view"):
+        s1.apply(FeatureService(name="bad", features=["nope:x"]))
+    s1.apply(FeatureService(name="svc_v1", features=["pg:n_chars"]))
+
+    s2 = FeatureStore(spark, root=root)  # fresh load
+    via_svc = s2.get_historical_features(probes_df, "svc_v1").toPandas()
+    direct = s2.get_historical_features(probes_df, ["pg:n_chars"]).toPandas()
+    key = ["url", "ts"]
+    assert (
+        via_svc.sort_values(key).reset_index(drop=True)["n_chars"]
+        .equals(direct.sort_values(key).reset_index(drop=True)["n_chars"])
+    )
+
+
+def test_push_merges_into_store(spark, tmp_path_factory):
+    """PushSource path: pushed rows upsert only their buckets; newest row
+    per key wins across materialize + push; other keys untouched."""
+    from pyspark.sql import Row
+
+    from feast_spark.materialize import MaterializeJob, read_online
+
+    base = tmp_path_factory.mktemp("push")
+    src = str(base / "src.parquet")
+    spark.createDataFrame(
+        [Row(url=f"u{i}", warc_ts="2023-06-01 00:00:00", n_chars=i)
+         for i in range(30)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")).write.parquet(src)
+    dest = str(base / "store")
+    view = FeatureView(
+        name="pg",
+        entity=Entity("url", "url"),
+        source=src,
+        features=[FeatureSpec("n_chars", "bigint")],
+        timestamp_field="warc_ts",
+    )
+    MaterializeJob(spark, view, dest, n_buckets=4, bucket_batch=4).run(
+        "2023-01-01", "2024-01-01"
+    )
+
+    store = FeatureStore(spark)
+    # newer rows for u0..u4, a brand-new key u99, and a STALE row for u5
+    pushed = spark.createDataFrame(
+        [Row(url=f"u{i}", warc_ts="2023-07-01 00:00:00", n_chars=1000 + i)
+         for i in range(5)]
+        + [Row(url="u99", warc_ts="2023-07-01 00:00:00", n_chars=9999),
+           Row(url="u5", warc_ts="2023-01-01 00:00:00", n_chars=-1)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    summary = store.push(dest, pushed, ts_col="warc_ts")
+    assert summary["rows_pushed"] > 0
+
+    got = {r["url"]: r["n_chars"] for r in read_online(spark, dest).collect()}
+    assert len(got) == 31  # 30 originals + u99
+    for i in range(5):
+        assert got[f"u{i}"] == 1000 + i  # pushed newer rows win
+    assert got["u5"] == 5  # stale push loses to existing newer row
+    assert got["u99"] == 9999  # new key lands
+    assert got["u20"] == 20  # untouched keys unchanged
+
+
+def test_saved_dataset_roundtrip(spark, data_dir, probes_df, tmp_path_factory):
+    import os
+
+    root = str(tmp_path_factory.mktemp("sd") / "store")
+    enriched = str(tmp_path_factory.mktemp("sd") / "pg.parquet")
+    spark.read.parquet(os.path.join(data_dir, "pages.parquet")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(enriched)
+    s1 = FeatureStore(spark, root=root)
+    s1.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=enriched,
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    out = s1.get_historical_features(probes_df, ["pg:n_chars"])
+    s1.create_saved_dataset("train_v1", out)
+
+    s2 = FeatureStore(spark, root=root)  # fresh session-load
+    back = s2.get_saved_dataset("train_v1")
+    assert back.count() == out.count()
+    assert set(back.columns) == set(out.columns)
+    # saving under the same name twice refuses (immutable audit artifact)
+    with pytest.raises(Exception):
+        s2.create_saved_dataset("train_v1", out)
