@@ -996,6 +996,62 @@ def q_salted_group_stats(spark, sf_dir):
     )
 
 
+def q_validate_events(spark, sf_dir):
+    """Expectation-based data validation (feast_spark.validation): five
+    dbt-vocabulary checks evaluated in ONE aggregation pass; includes a
+    deliberately failing accepted_values check so observed counts are
+    driver-verified, not just booleans."""
+    from feast_spark.validation import validate_table
+
+    ev = _t(spark, sf_dir, "events")
+    out = validate_table(
+        ev,
+        [
+            {"kind": "row_count_min", "value": 100},
+            {"kind": "not_null", "column": "user_id"},
+            {"kind": "unique", "columns": ["event_id"]},
+            {"kind": "accepted_range", "column": "value", "min": -1e9},
+            {
+                "kind": "accepted_values",
+                "column": "event_type",
+                "values": ["view", "click", "purchase"],
+            },
+        ],
+    )
+    return out.select(
+        "kind", "column", "passed", F.round("observed", 6).alias("observed")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators.sampling): k rows per
+    stratum by portable md5 rank — reproducible on any cluster size /
+    partitioning / retry (no rand())."""
+    from feast_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = stratified_sample(
+        ev, group_col="event_type", id_col="event_id", k=50
+    )
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/test split by hash prefix (operators.sampling
+    hash_split): a row's split never changes as the corpus grows."""
+    from feast_spark.operators.sampling import hash_split
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    out = hash_split(ev, id_col="event_id", test_frac=0.25)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def q_layout_prune_scan(spark, sf_dir):
     """S2/S6 driver-verified: events → Iceberg-style layout (sorted files,
     manifest) → manifest-pruned read over a time range. The pruned scan +
@@ -1733,12 +1789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
         "grouping_sets": q_grouping_sets,
-        "quantiles_per_lang": q_quantiles_per_lang,
         "star_join_revenue": q_star_join_revenue,
         "salted_join": q_salted_join,
-        "range_join_events": q_range_join_events,
         "salted_group_agg": q_salted_group_agg,
         "salted_group_stats": q_salted_group_stats,
+        "validate_events": q_validate_events,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         # LLM-pipeline text ops (round-2 additions)
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
@@ -1758,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- sample and stay covered by the harness replica pytest
         "cube_lang_source": q_cube_lang_source,
         "order_ship_priority": q_order_ship_priority,
+        "quantiles_per_lang": q_quantiles_per_lang,
+        "range_join_events": q_range_join_events,
         "embedding_near_dup": q_embedding_near_dup,
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
@@ -2744,6 +2803,58 @@ def _oracles() -> dict[str, str]:
                    max(CAST(round(l_quantity * 100) AS BIGINT))
                      AS max_qty_cents
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM (
+              SELECT event_id, event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR) || '|42'),
+                                event_id) AS rn
+              FROM events
+            ) WHERE rn <= 50
+        """,
+        "hash_split": f"""
+            SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR) || '|42'),
+                          1, 8) < '{int(0.25 * 16**8):08x}'
+                        THEN 'test' ELSE 'train' END AS split,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(event_id) AS min_id, max(event_id) AS max_id
+            FROM events GROUP BY 1
+        """,
+        "validate_events": """
+            SELECT 'row_count_min' AS kind, CAST(NULL AS VARCHAR) AS "column",
+                   count(*) >= 100 AS passed,
+                   round(CAST(count(*) AS DOUBLE), 6) AS observed
+            FROM events
+            UNION ALL
+            SELECT 'not_null', 'user_id',
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / count(*) <= 0.0,
+                   round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*) + 0.0, 6)
+            FROM events
+            UNION ALL
+            SELECT 'unique', 'event_id',
+                   count(*) - count(DISTINCT event_id) <= 0,
+                   round(CAST(count(*) - count(DISTINCT event_id)
+                     AS DOUBLE), 6)
+            FROM events
+            UNION ALL
+            SELECT 'accepted_range', 'value',
+                   sum(CASE WHEN value < -1e9 THEN 1 ELSE 0 END) = 0,
+                   round(CAST(sum(CASE WHEN value < -1e9 THEN 1 ELSE 0 END)
+                     AS DOUBLE), 6)
+            FROM events
+            UNION ALL
+            SELECT 'accepted_values', 'event_type',
+                   sum(CASE WHEN event_type IS NOT NULL AND event_type
+                     NOT IN ('view','click','purchase') THEN 1 ELSE 0
+                     END) = 0,
+                   round(CAST(sum(CASE WHEN event_type IS NOT NULL AND
+                     event_type NOT IN ('view','click','purchase')
+                     THEN 1 ELSE 0 END) AS DOUBLE), 6)
+            FROM events
         """,
         "salted_group_stats": """
             SELECT event_type,

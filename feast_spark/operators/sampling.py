@@ -1,0 +1,132 @@
+"""Deterministic corpus sampling / splitting (training-data curation).
+
+A 100 TB pipeline needs reproducible subsetting: the same inputs must
+yield byte-identical samples on any cluster size, any partitioning, any
+retry — so nothing here uses ``rand()`` (nondeterministic under task
+retry, the SPARK-23207 hazard) or driver-side state. Every choice is a
+pure function of row content via a portable hash (md5 — identical output
+in Spark, DuckDB, Python; xxhash64 deliberately avoided here because
+oracle engines don't ship it).
+
+- ``stratified_sample``: k rows per stratum, rank-by-hash. ``window``
+  strategy is the exact default; ``threshold`` is the scale path for hot
+  strata — hash-threshold prefilter (≈k/n·oversample survival) bounds
+  the per-stratum window input, with a guarantee check that falls back
+  loudly rather than silently under-sampling.
+- ``hash_split``: train/test split by hash prefix — stable across runs,
+  new rows land in a split independently of old rows (the property
+  ``rand() < frac`` lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(id_col: str | Column, seed: int) -> Column:
+    """Portable deterministic ranking key: md5 over ``id|seed``.
+    Lowercase hex compares lexicographically == numerically."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(F.concat_ws("|", c.cast("string"), F.lit(str(seed))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    strategy: str = "window",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Up to ``k`` rows per ``group_col`` stratum, chosen as the k
+    smallest ``md5(id|seed)`` values — a uniform-without-replacement
+    sample that is reproducible everywhere.
+
+    ``window`` ranks every row (one shuffle on the stratum key; a hot
+    stratum = one big task). ``threshold`` first keeps only rows whose
+    hash falls below ≈``oversample·k/n`` of the hash space per stratum
+    (pure filter after a map-side-combinable count), then ranks the
+    survivors — the window input shrinks from n to ~oversample·k per
+    stratum, which is what makes a 10^9-row stratum tractable. Both
+    strategies return the SAME rows; if the prefilter ever catches fewer
+    than min(k, n) survivors for a stratum (hash-tail bad luck at tiny
+    oversample), it raises rather than silently under-sampling."""
+    h = _hash_key(id_col, seed).alias("__h")
+    if strategy == "window":
+        w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+        return (
+            df.withColumn("__h", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__h", "__rn")
+        )
+    if strategy != "threshold":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    hashed = df.withColumn("__h", h)
+    # survival threshold as a hex-string prefix bound: keep rows whose
+    # first 8 hex chars < cut, cut/16^8 ≈ oversample*k/n (clamped to 1)
+    frac = F.least(
+        F.lit(1.0), F.lit(float(oversample) * k) / F.col("__n")
+    )
+    # conv() emits uppercase hex; md5() is lowercase — normalize or the
+    # lexicographic compare breaks ('a' > 'F')
+    cut = F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(frac * F.lit(float(16**8))).cast("long").cast("string"),
+                10, 16,
+            )
+        ),
+        8, "0",
+    )
+    joined = hashed.join(F.broadcast(counts), group_col)
+    survivors = joined.filter(
+        # saturated strata (n ≤ oversample·k) keep everything — also
+        # dodges the frac=1.0 edge where the hex cut would be 9 digits
+        (frac >= F.lit(1.0))
+        | (F.substring("__h", 1, 8) < cut)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    ranked = survivors.withColumn("__rn", F.row_number().over(w))
+    # guarantee check: each stratum must have min(k, n) survivors
+    short = (
+        ranked.groupBy(group_col, "__n")
+        .agg(F.max("__rn").alias("__got"))
+        .filter(F.col("__got") < F.least(F.lit(k), F.col("__n")))
+        .limit(1)
+        .collect()
+    )
+    if short:
+        r = short[0]
+        raise RuntimeError(
+            f"stratum {r[group_col]!r} kept {r['__got']}/{min(k, r['__n'])} "
+            f"rows at oversample={oversample}; retry with a larger "
+            "oversample"
+        )
+    return ranked.filter(F.col("__rn") <= k).drop("__h", "__rn", "__n")
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    test_frac: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Adds a ``split`` column ('test' iff the row's hash prefix falls in
+    the first ``test_frac`` of the hash space). Stable: a row's split
+    never changes as the corpus grows — the property that keeps eval
+    sets leak-free across corpus versions."""
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError("test_frac must be in [0, 1]")
+    cut = format(int(test_frac * 16**8), "08x")
+    h8 = F.substring(_hash_key(id_col, seed), 1, 8)
+    return df.withColumn(
+        "split",
+        F.when(h8 < F.lit(cut), F.lit("test")).otherwise(F.lit("train")),
+    )

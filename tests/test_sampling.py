@@ -1,0 +1,69 @@
+"""Deterministic sampling/splitting semantics (operators.sampling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.operators.sampling import hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for g, n in (("a", 200), ("b", 50), ("c", 3)):
+        rows += [Row(grp=g, doc_id=f"{g}-{i}", v=i) for i in range(n)]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_stratified_sample_sizes_and_determinism(spark, corpus):
+    s1 = stratified_sample(corpus, group_col="grp", id_col="doc_id", k=20)
+    sizes = {r["grp"]: r["n"] for r in s1.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"a": 20, "b": 20, "c": 3}  # min(k, n) per stratum
+    # identical output on a re-run and under different partitioning
+    s2 = stratified_sample(
+        corpus.repartition(13), group_col="grp", id_col="doc_id", k=20
+    )
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    # different seed → different sample
+    s3 = stratified_sample(
+        corpus, group_col="grp", id_col="doc_id", k=20, seed=7
+    )
+    assert s1.select("doc_id").exceptAll(s3.select("doc_id")).count() > 0
+
+
+def test_threshold_strategy_equals_window(spark, corpus):
+    """The scale path must return the SAME rows as the exact window."""
+    w = stratified_sample(corpus, group_col="grp", id_col="doc_id", k=10)
+    t = stratified_sample(
+        corpus, group_col="grp", id_col="doc_id", k=10,
+        strategy="threshold", oversample=8.0,
+    )
+    assert sorted(r["doc_id"] for r in w.collect()) == sorted(
+        r["doc_id"] for r in t.collect()
+    )
+
+
+def test_threshold_raises_on_undersampling(spark, corpus):
+    with pytest.raises(RuntimeError, match="oversample"):
+        stratified_sample(
+            corpus, group_col="grp", id_col="doc_id", k=40,
+            strategy="threshold", oversample=0.01,
+        )
+
+
+def test_hash_split_stable_and_sized(spark, corpus):
+    s = hash_split(corpus, id_col="doc_id", test_frac=0.25)
+    frac = s.filter(F.col("split") == "test").count() / s.count()
+    assert 0.1 < frac < 0.4  # 253 rows: loose binomial bounds
+    # stability: a row's split is independent of the rest of the corpus
+    sub = hash_split(corpus.limit(50), id_col="doc_id", test_frac=0.25)
+    joined = s.alias("full").join(
+        sub.alias("sub").withColumnRenamed("split", "split_sub"),
+        ["grp", "doc_id", "v"],
+    )
+    assert joined.filter(F.col("split") != F.col("split_sub")).count() == 0
+    with pytest.raises(ValueError, match="test_frac"):
+        hash_split(corpus, id_col="doc_id", test_frac=1.5)

@@ -1,0 +1,85 @@
+"""Expectation-based validation semantics (feast_spark.validation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.validation import expect, validate_table
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(id=1, grp="a", v=1.0),
+        Row(id=2, grp="a", v=2.0),
+        Row(id=3, grp="b", v=-5.0),
+        Row(id=3, grp="b", v=7.0),     # duplicate id
+        Row(id=4, grp=None, v=None),   # null grp + null v
+        Row(id=5, grp="zz", v=3.0),    # off-list grp
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_validate_table_measures(spark, df):
+    out = {
+        (r["kind"], r["column"]): (r["passed"], r["observed"])
+        for r in validate_table(
+            df,
+            [
+                {"kind": "not_null", "column": "v"},
+                {"kind": "unique", "columns": ["id"]},
+                {"kind": "unique", "columns": ["id", "grp"]},
+                {"kind": "accepted_range", "column": "v", "min": 0.0},
+                {"kind": "accepted_values", "column": "grp",
+                 "values": ["a", "b"]},
+            ],
+        ).collect()
+    }
+    rows = validate_table(
+        df, [{"kind": "row_count_min", "value": 5},
+             {"kind": "row_count_min", "value": 100}]
+    ).collect()
+    assert [r["passed"] for r in rows] == [True, False]
+    assert all(r["observed"] == 6.0 for r in rows)
+
+    assert out[("not_null", "v")][0] is False
+    assert out[("not_null", "v")][1] == pytest.approx(1 / 6)
+    assert out[("unique", "id")] == (False, 1.0)       # one duplicate id
+    assert out[("unique", "id,grp")] == (False, 1.0)   # same pair twice
+    assert out[("accepted_range", "v")] == (False, 1.0)  # -5.0
+    assert out[("accepted_values", "grp")] == (False, 1.0)  # 'zz'; null ok
+
+
+def test_validate_single_pass(spark, df, monkeypatch):
+    """All expectations evaluate in ONE aggregation job."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    n_aggs = []
+    orig = DataFrame.agg
+
+    def spy(self, *a, **kw):
+        n_aggs.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "agg", spy)
+    validate_table(
+        df,
+        [
+            {"kind": "row_count_min", "value": 1},
+            {"kind": "not_null", "column": "v"},
+            {"kind": "unique", "columns": ["id"]},
+            {"kind": "accepted_range", "column": "v", "min": 0},
+            {"kind": "accepted_values", "column": "grp", "values": ["a"]},
+        ],
+    ).collect()
+    assert len(n_aggs) == 1
+
+
+def test_expect_raises_listing_failures(spark, df):
+    with pytest.raises(ValueError, match="unique"):
+        expect(df, [{"kind": "unique", "columns": ["id"]}])
+    expect(df, [{"kind": "row_count_min", "value": 2}])  # passes silently
+    with pytest.raises(ValueError, match="unknown expectation"):
+        validate_table(df, [{"kind": "nope"}])
