@@ -1023,6 +1023,20 @@ def q_validate_events(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (rows-only: packing is sequentially
+    order-dependent, not SQL-expressible; semantics pinned in
+    tests/test_sampling.py): token-budget packs over documents."""
+    from feast_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("n_tok")
+    )
+    return pack_sequences(
+        docs, id_col="doc_id", size_col="n_tok", budget=4096, n_shards=8
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -1161,6 +1175,36 @@ def q_materialize_composite(spark, sf_dir):
     return out.select(
         "user_id", "event_type", "ts", F.round("value", 6).alias("value")
     )
+
+
+def q_pit_global_view(spark, sf_dir):
+    """Entity-less (global) feature view — upstream's DUMMY_ENTITY: a
+    keyless daily-stats timeline as-of joined to every probe
+    (asof_join by=[]; registry FeatureView(entity=[]))."""
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    probes, _ = _events_pit_inputs(spark, sf_dir)
+
+    def daily(sp):
+        return (
+            _t(sp, sf_dir, "events")
+            .groupBy(F.date_trunc("DAY", F.col("ts")).alias("dts"))
+            .agg(F.count(F.lit(1)).alias("glob_n"))
+        )
+
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="glob",
+            entity=[],
+            source=daily,
+            features=[FeatureSpec("glob_n", "bigint")],
+            ttl=None,
+            timestamp_field="dts",
+        )
+    )
+    out = store.get_historical_features(probes, ["glob:glob_n"])
+    return out.select("user_id", "ts", "glob_n")
 
 
 def q_feature_service_retrieval(spark, sf_dir):
@@ -1762,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_asof_sliced": q_pit_asof_sliced,
         "pit_two_views_prefixed": q_pit_two_views_prefixed,
         "pit_composite_key": q_pit_composite_key,
+        "pit_global_view": q_pit_global_view,
         "pit_created_tiebreak": q_pit_created_tiebreak,
         # windowed feature builders
         "lag_lead": q_lag_lead,
@@ -1788,7 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates / relational
         "pricing_summary": q_pricing_summary,
         "topk_per_group": q_topk_per_group,
-        "grouping_sets": q_grouping_sets,
         "star_join_revenue": q_star_join_revenue,
         "salted_join": q_salted_join,
         "salted_group_agg": q_salted_group_agg,
@@ -1813,6 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         # ---- fold: entries below are typically outside the driver's
         # ---- sample and stay covered by the harness replica pytest
+        "grouping_sets": q_grouping_sets,
+        "pack_sequences": q_pack_sequences,
         "cube_lang_source": q_cube_lang_source,
         "order_ship_priority": q_order_ship_priority,
         "quantiles_per_lang": q_quantiles_per_lang,
@@ -2192,6 +2238,19 @@ def _oracles() -> dict[str, str]:
               FROM events
               WHERE ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
             ) WHERE rn = 1
+        """,
+        "pit_global_view": """
+            WITH probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            daily AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dts,
+                     CAST(count(*) AS BIGINT) AS glob_n
+              FROM events GROUP BY 1
+            )
+            SELECT p.user_id, p.ts, d.glob_n
+            FROM probes p ASOF LEFT JOIN daily d ON p.ts >= d.dts
         """,
         "push_online": """
             SELECT user_id, ts, round(value, 6) AS value

@@ -8,6 +8,13 @@ line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": ..., "docs_per_sec": ...}
 
+Protocol (VERDICT r02 next #7): every headline query and both pipeline
+legs run ``N_RUNS`` (default 3) times; ``queries`` reports per-query
+MEDIANS, ``queries_min`` the minima, because this VM's run-to-run wall
+swing (documented 2.6× in BENCH/BASELINE.md) makes single shots
+unreadable. Note medians over in-session repeats measure WARM plans —
+codegen/JIT and file-listing costs land in the first run only.
+
 Two parts:
 
 1. **Headline driver queries** — the PIT/as-of strategies, windowed

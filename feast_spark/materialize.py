@@ -80,12 +80,19 @@ class MaterializeJob:
                 "key_col"
             ]
 
+    #: constant key column injected for entity-less (global) views —
+    #: upstream's DUMMY_ENTITY; the whole view serves one latest row
+    DUMMY_KEY = "__feast_dummy_entity__"
+
     def _key_cols(self) -> list[str]:
         # a one-element entity LIST is a legal view shape; dereference
         # via join_keys so it doesn't crash on .join_key (round-2 review).
         # A multi-element list = composite entity key: the store buckets
-        # on xxhash64(k1, k2, …) and serves one row per key TUPLE.
+        # on xxhash64(k1, k2, …) and serves one row per key TUPLE. An
+        # EMPTY list = entity-less view, keyed by an injected constant.
         keys = getattr(self.view, "join_keys", None)
+        if keys is not None and len(keys) == 0:
+            return [self.DUMMY_KEY]
         return list(keys) if keys else [self.view.entity.join_key]
 
     def _key_types(self) -> list[str] | None:
@@ -106,6 +113,7 @@ class MaterializeJob:
             else:
                 schema = self.view.load(self.spark).schema
             have = {f.name: f.dataType.simpleString() for f in schema.fields}
+            have[self.DUMMY_KEY] = "int"  # injected constant
             if all(k in have for k in keys):
                 return [have[k] for k in keys]
         except Exception:
@@ -147,6 +155,14 @@ class MaterializeJob:
         # bucket membership is a pure filter here; the write recomputes the
         # bucket id (cheap hash) AFTER the user transform, which may
         # project columns freely
+        if keys == [self.DUMMY_KEY]:
+            # entity-less view: inject the constant key just for the
+            # filter (all rows share one bucket), keep the user schema
+            return (
+                df.withColumn(self.DUMMY_KEY, F.lit(1))
+                .filter(b.isin(buckets))
+                .drop(self.DUMMY_KEY)
+            )
         return df.filter(b.isin(buckets))
 
     # -- one bucket batch ------------------------------------------------
@@ -158,6 +174,8 @@ class MaterializeJob:
         df = self._scan(start, end, buckets)
         if self.transform is not None:
             df = self.transform(df)
+        if keys == [self.DUMMY_KEY]:
+            df = df.withColumn(self.DUMMY_KEY, F.lit(1))
         latest = latest_per_key(
             df,
             key=keys,
@@ -310,6 +328,14 @@ def write_store_meta(
                 f"{prior['n_buckets']}, cannot re-materialize with "
                 f"{n_buckets}"
             )
+        prior_cols = prior.get("key_cols") or (
+            [prior["key_col"]] if prior.get("key_col") else None
+        )
+        if prior_cols and key_cols and prior_cols != key_cols:
+            raise ValueError(
+                f"store {dest} is keyed on {prior_cols}, cannot "
+                f"re-materialize keyed on {key_cols}"
+            )
         if key_types and not prior.get("key_types") and not prior.get("key_type"):
             # backfill dtypes for older stores
             prior["key_types"] = key_types
@@ -395,6 +421,8 @@ def push_to_online(
             layout.bucket_expr(key_cols, n_buckets).alias("b")
         ).distinct().collect()
     )
+    if not touched:  # empty push batch: nothing to merge or swap
+        return {"rows_pushed": 0, "buckets_touched": []}
     existing_dirs = [
         os.path.join(dest, layout.DATA_DIR, f"bucket={b}") for b in touched
     ]

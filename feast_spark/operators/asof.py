@@ -83,8 +83,25 @@ def asof_join(
 
     ``by`` may be a list for composite entity keys (upstream: a view
     referencing several entities joins on all their keys); every
-    strategy treats the tuple as one logical key."""
+    strategy treats the tuple as one logical key. An EMPTY list is the
+    entity-less (global) view (upstream's DUMMY_ENTITY): every probe
+    matches the one global feature timeline — implemented by injecting a
+    constant key on both sides, so the whole timeline lands in one
+    window partition (global tables are small by construction; a large
+    one should be given a real entity)."""
     by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        dummy = "__feast_dummy_entity__"
+        out = asof_join(
+            probes.withColumn(dummy, F.lit(1)),
+            features.withColumn(dummy, F.lit(1)),
+            by=dummy, left_on=left_on, right_on=right_on, ttl=ttl,
+            created_col=created_col, feature_cols=feature_cols,
+            strategy=strategy, include_event_ts=include_event_ts,
+            event_ts_name=event_ts_name, n_buckets=n_buckets,
+            slice_s=slice_s,
+        )
+        return out.drop(dummy)
     if feature_cols is None:
         skip = {*by, right_on}
         if created_col:

@@ -111,6 +111,79 @@ def stratified_sample(
     return ranked.filter(F.col("__rn") <= k).drop("__h", "__rn", "__n")
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy sequence packing — the LLM-pretraining batch-construction
+    step: group documents into packs whose total ``size_col`` (token
+    count) stays ≤ ``budget``, so downstream training reads fixed-size
+    concatenated sequences with minimal padding.
+
+    Scale shape: docs hash-shard into ``n_shards`` independent groups
+    (content-derived, deterministic); each shard packs SEQUENTIALLY in
+    one ``applyInPandas`` task — packing is inherently order-dependent,
+    so the parallelism unit is the shard, not the row. Within a shard,
+    docs are ordered by the portable content hash (reproducible under
+    any input partitioning) and packed first-fit-sequentially; a doc
+    larger than the budget gets a singleton pack (flagged
+    ``oversize=true``) rather than being silently dropped. Pack ids are
+    globally unique: ``shard * 2^40 + local``. At 10^12 docs, pick
+    n_shards ≈ docs/10^6 so each task's Python loop stays ~seconds.
+
+    Returns (id_col, size_col, shard, pack_id, oversize). No SQL oracle
+    (sequential dependency); semantics pinned by tests/test_sampling.py.
+    """
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    size_type = df.schema[size_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, {size_col} {size_type}, "
+        "shard int, pack_id long, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__h", kind="mergesort")
+        shard = int(pdf["__shard"].iloc[0])
+        sizes = pdf[size_col].to_numpy()
+        pack_local = []
+        cur_id, cur_fill = 0, 0
+        for s in sizes:
+            s = int(s)
+            if cur_fill > 0 and cur_fill + s > budget:
+                cur_id += 1
+                cur_fill = 0
+            pack_local.append(cur_id)
+            cur_fill += s
+            if s > budget:  # oversize singleton: close it immediately
+                cur_id += 1
+                cur_fill = 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                size_col: sizes,
+                "shard": shard,
+                "pack_id": [shard * (1 << 40) + p for p in pack_local],
+                "oversize": sizes > budget,
+            }
+        )
+
+    hashed = df.select(
+        id_col,
+        size_col,
+        _hash_key(id_col, seed).alias("__h"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        .cast("int").alias("__shard"),
+    )
+    return hashed.groupBy("__shard").applyInPandas(pack, out_schema)
+
+
 def hash_split(
     df: DataFrame,
     *,
@@ -124,6 +197,8 @@ def hash_split(
     sets leak-free across corpus versions."""
     if not 0.0 <= test_frac <= 1.0:
         raise ValueError("test_frac must be in [0, 1]")
+    if test_frac == 1.0:  # the hex cut would be 9 digits and mis-compare
+        return df.withColumn("split", F.lit("test"))
     cut = format(int(test_frac * 16**8), "08x")
     h8 = F.substring(_hash_key(id_col, seed), 1, 8)
     return df.withColumn(

@@ -547,6 +547,70 @@ def compact_table(
     return new_snap["snapshot_id"]
 
 
+def rollback(root: str, snapshot_id: int) -> dict:
+    """Iceberg ``rollback_to_snapshot``: point HEAD back at an earlier
+    snapshot. Pure metadata flip (one atomic HEAD write through the
+    FileIO seam); data files are untouched, later snapshots remain on
+    disk for roll-FORWARD until ``expire_snapshots`` drops them."""
+    meta = os.path.join(root, META_DIR)
+    snap_name = f"snap-{snapshot_id:06d}.json"
+    if not os.path.exists(os.path.join(meta, snap_name)):
+        raise FileNotFoundError(
+            f"no snapshot {snapshot_id} at {root} (expired or never existed)"
+        )
+    prev = current_snapshot(root)
+    get_io().write_atomic(os.path.join(meta, "HEAD"), snap_name)
+    return {
+        "rolled_back_from": prev["snapshot_id"] if prev else None,
+        "current": snapshot_id,
+    }
+
+
+def remove_orphan_files(root: str, *, dry_run: bool = False) -> dict:
+    """Iceberg ``remove_orphan_files``: delete data files no snapshot
+    references — crash leftovers from interrupted upserts/compactions
+    (their unique ``upsert-*/compact-*`` names keep them inert but they
+    still occupy storage). Driver-side listing here; at 100 TB the walk
+    fans out like ``collect_stats_distributed`` (same file-list
+    mapInPandas shape). Never touches ``_staging`` mid-write dirs of the
+    CURRENT process — single-writer semantics mean no other writer
+    exists, so anything unreferenced is garbage."""
+    meta = os.path.join(root, META_DIR)
+    referenced: set[str] = set()
+    for name in os.listdir(meta):
+        if name.startswith("snap-") and name.endswith(".json"):
+            referenced.update(
+                f["path"] for f in load_snapshot(root, name)["files"]
+            )
+    orphans = [p for p in _list_all_data_files(root) if p not in referenced]
+    freed = 0
+    io = get_io()
+    for rel in orphans:
+        p = os.path.join(root, rel)
+        freed += os.path.getsize(p)
+        if not dry_run:
+            io.remove(p)
+    return {
+        "orphans_removed": 0 if dry_run else len(orphans),
+        "orphans_found": len(orphans),
+        "bytes_freed": 0 if dry_run else freed,
+        "paths": sorted(orphans),
+    }
+
+
+def _list_all_data_files(root: str) -> list[str]:
+    """Like ``_list_data_files`` but INCLUDING upsert-*/compact-* names —
+    the orphan sweeper must see what appends deliberately ignore."""
+    data_path = os.path.join(root, DATA_DIR)
+    out = []
+    for dirpath, dirs, files in os.walk(data_path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
 def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
     """Iceberg ``expire_snapshots``: drop all but the newest
     ``keep_last`` snapshots and delete data files no surviving snapshot

@@ -595,3 +595,78 @@ def test_upsert_wide_uses_distributed_stats(spark, tmp_path_factory, monkeypatch
     # stats present and usable for pruning regardless of collection path
     snap = layout.current_snapshot(root)
     assert all(f["min_key"] is not None for f in snap["files"])
+
+
+def test_rollback_to_snapshot(spark, tmp_path_factory):
+    """Iceberg rollback: HEAD flips to the older snapshot; reads serve
+    the old data; roll-forward works until snapshots expire."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path_factory.mktemp("rb") / "tbl")
+    df1 = spark.createDataFrame(
+        [Row(url=f"u{i}", warc_ts="2023-06-01 00:00:00", v=i) for i in range(5)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    s1 = layout.write_table(df1, root, n_buckets=2)
+    df2 = spark.createDataFrame(
+        [Row(url="new", warc_ts="2023-06-02 00:00:00", v=99)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    s2 = layout.write_table(df2, root, n_buckets=2, mode="append")
+    assert layout.read_table(spark, root).count() == 6
+
+    out = layout.rollback(root, s1)
+    assert out == {"rolled_back_from": s2, "current": s1}
+    assert layout.read_table(spark, root).count() == 5
+    layout.rollback(root, s2)  # roll forward
+    assert layout.read_table(spark, root).count() == 6
+    import pytest as _p
+
+    with _p.raises(FileNotFoundError):
+        layout.rollback(root, 999)
+
+
+def test_remove_orphan_files(spark, tmp_path_factory, monkeypatch):
+    """Crash leftovers (inert upsert-* files referenced by no snapshot)
+    are swept; referenced files survive; dry_run only reports."""
+    from pyspark.sql import Row
+
+    from feast_spark.sources import fileio
+
+    root = str(tmp_path_factory.mktemp("orph") / "tbl")
+    src = spark.createDataFrame(
+        [Row(url=f"u{i}", warc_ts="2023-06-01 00:00:00", v=i) for i in range(20)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    layout.write_table(src, root, n_buckets=2)
+
+    # crash an upsert mid-move → orphan upsert-* files on disk
+    class Crash(fileio.FileIO):
+        def __init__(self):
+            self.n = 0
+
+        def move(self, s, d):
+            self.n += 1
+            if self.n == 2:
+                raise RuntimeError("boom")
+            super().move(s, d)
+
+    prev = fileio.set_io(Crash())
+    try:
+        import pytest as _p
+
+        ups = spark.createDataFrame(
+            [Row(url=f"u{i}", warc_ts="2023-06-01 00:00:00", v=i + 100)
+             for i in range(20)]
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        with _p.raises(RuntimeError, match="boom"):
+            layout.upsert_table(spark, root, ups)
+    finally:
+        fileio.set_io(prev)
+
+    before = layout.read_table(spark, root).count()
+    dry = layout.remove_orphan_files(root, dry_run=True)
+    assert dry["orphans_found"] >= 1 and dry["orphans_removed"] == 0
+    swept = layout.remove_orphan_files(root)
+    assert swept["orphans_removed"] == dry["orphans_found"]
+    assert swept["bytes_freed"] > 0
+    # table content untouched; a second sweep finds nothing
+    assert layout.read_table(spark, root).count() == before
+    assert layout.remove_orphan_files(root)["orphans_found"] == 0

@@ -246,3 +246,60 @@ def test_composite_entity_view_retrieval(spark, tmp_path_factory):
         (r["u"], r["t"]): r["v"] for r in read_online(spark, dest).collect()
     }
     assert served[("a", "x")] == 1.0 and served[("a", "y")] == 2.0
+
+
+def test_entityless_global_view(spark, tmp_path_factory):
+    """Entity-less (global) feature view — upstream DUMMY_ENTITY: every
+    probe as-of matches the single global timeline; works through
+    retrieval (all strategies) AND materialization (single serving row)."""
+    from pyspark.sql import Row
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.operators.asof import asof_join
+    from feast_spark.registry import FeatureSpec, FeatureStore, FeatureView
+
+    glob = spark.createDataFrame(
+        [Row(gts=f"2023-06-{d:02d} 00:00:00", level=float(d)) for d in (1, 10, 20)]
+    ).withColumn("gts", F.col("gts").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [Row(who="a", ts="2023-06-05 00:00:00"),
+         Row(who="b", ts="2023-06-15 00:00:00"),
+         Row(who="c", ts="2023-05-01 00:00:00")]  # before any feature
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for strat in ("union", "broadcast"):
+        out = {
+            r["who"]: r["level"]
+            for r in asof_join(
+                probes, glob, by=[], left_on="ts", right_on="gts",
+                ttl=None, strategy=strat,
+            ).collect()
+        }
+        assert out == {"a": 1.0, "b": 10.0, "c": None}, (strat, out)
+
+    # registry path
+    src_path = str(tmp_path_factory.mktemp("glob") / "g.parquet")
+    glob.write.parquet(src_path)
+    store = FeatureStore(spark)
+    view = FeatureView(
+        name="glob",
+        entity=[],
+        source=src_path,
+        features=[FeatureSpec("level", "double")],
+        ttl=None,
+        timestamp_field="gts",
+    )
+    store.apply(view)
+    out = {
+        r["who"]: r["level"]
+        for r in store.get_historical_features(probes, ["glob:level"]).collect()
+    }
+    assert out == {"a": 1.0, "b": 10.0, "c": None}
+
+    # materialization: one serving row (the global latest)
+    dest = str(tmp_path_factory.mktemp("glob") / "store")
+    MaterializeJob(spark, view, dest, n_buckets=4, bucket_batch=4).run(
+        "2023-01-01", "2024-01-01"
+    )
+    rows = read_online(spark, dest).collect()
+    assert len(rows) == 1 and rows[0]["level"] == 20.0

@@ -67,3 +67,37 @@ def test_hash_split_stable_and_sized(spark, corpus):
     assert joined.filter(F.col("split") != F.col("split_sub")).count() == 0
     with pytest.raises(ValueError, match="test_frac"):
         hash_split(corpus, id_col="doc_id", test_frac=1.5)
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    from feast_spark.operators.sampling import pack_sequences
+
+    rows = [Row(doc_id=i, n_tok=(i * 37) % 900 + 50) for i in range(500)]
+    rows.append(Row(doc_id=9999, n_tok=5000))  # oversize
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(
+        df, id_col="doc_id", size_col="n_tok", budget=2048, n_shards=8
+    ).toPandas()
+
+    # every doc assigned exactly once
+    assert sorted(out["doc_id"]) == sorted(r.doc_id for r in rows)
+    # no pack exceeds budget except oversize singletons
+    agg = out.groupby("pack_id").agg(
+        tot=("n_tok", "sum"), n=("n_tok", "size"), over=("oversize", "max")
+    )
+    bad = agg[(agg["tot"] > 2048) & ~agg["over"]]
+    assert bad.empty, bad
+    over = out[out["oversize"]]
+    assert list(over["doc_id"]) == [9999]
+    assert int(agg.loc[over["pack_id"].iloc[0], "n"]) == 1  # singleton
+    # packing efficiency: pack count within 2x of the lower bound
+    lower = (out[~out["oversize"]]["n_tok"].sum() + 2047) // 2048
+    assert out[~out["oversize"]]["pack_id"].nunique() <= 2 * lower
+    # deterministic under repartitioning
+    out2 = pack_sequences(
+        df.repartition(17), id_col="doc_id", size_col="n_tok",
+        budget=2048, n_shards=8,
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert (a["pack_id"].values == b["pack_id"].values).all()
