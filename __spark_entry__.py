@@ -1711,6 +1711,29 @@ def q_stream_online_upsert(spark, sf_dir):
     )
 
 
+def q_stream_changed_rows(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas CDC driver-verified: per-key
+    change suppression as an actual streaming run — only rows whose
+    value differs from the key's last emitted row pass; equals the
+    batch lag()-filter (streaming/pipeline.py stream_changed_rows)."""
+    import uuid
+
+    from feast_spark.streaming.pipeline import stream_changed_rows
+
+    stream, _d = _stream_events(spark, sf_dir)
+    out = stream_changed_rows(
+        stream, key="user_id", ts_col="ts", value_cols=["event_type"],
+        watermark="1 hour",
+    )
+    name = "c" + uuid.uuid4().hex[:12]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "ts", "event_type")
+
+
 def q_stream_dedupe(spark, sf_dir):
     """T5 driver-verified: dropDuplicatesWithinWatermark as an actual
     streaming run — planted duplicate records collapse to the distinct
@@ -1902,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_online_upsert": q_stream_online_upsert,
         "stream_static_enrich": q_stream_static_enrich,
         "stream_dedupe": q_stream_dedupe,
+        "stream_changed_rows": q_stream_changed_rows,
     }
 
 
@@ -2153,6 +2177,15 @@ def _oracles() -> dict[str, str]:
         "stream_dedupe": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events
+        """,
+        "stream_changed_rows": """
+            SELECT user_id, ts, event_type
+            FROM (
+              SELECT user_id, ts, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts) AS prev
+              FROM events
+            ) WHERE prev IS NULL OR event_type <> prev
         """,
         "stream_static_enrich": """
             WITH latest AS (

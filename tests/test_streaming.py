@@ -263,3 +263,58 @@ def test_stream_upsert_checkpoint_idempotent(spark, pages_df, tmp_path_factory):
         map(tuple, read_online(spark, dest).select("url", "warc_ts").collect())
     )
     assert first == second and len(first) > 0
+
+
+def test_stream_changed_rows_suppresses_unchanged(spark, tmp_path_factory):
+    """transformWithStateInPandas CDC (Spark 4 arbitrary-state API): only
+    rows whose value tuple differs from the key's last emitted row pass;
+    replay equals the batch lag()-filter twin."""
+    from pyspark.sql import Row, Window
+
+    from feast_spark.streaming.pipeline import (
+        run_to_memory,
+        stream_changed_rows,
+        stream_pages,
+    )
+
+    rows = []
+    # u1: value changes each crawl → all pass; u2: constant → only first
+    for i in range(4):
+        rows.append(Row(url="u1", warc_ts=f"2023-06-01 0{i}:00:00",
+                        html=None, text=f"v{i}", lang="en"))
+        rows.append(Row(url="u2", warc_ts=f"2023-06-01 0{i}:00:00",
+                        html=None, text="same", lang="en"))
+    # u3: change, revert, change pattern: v a a v → emits at 0, skips 1? no:
+    # a→a suppressed, a→v emitted (compare to LAST EMITTED)
+    for i, t in enumerate(["x", "x", "y", "y"]):
+        rows.append(Row(url="u3", warc_ts=f"2023-06-01 0{i}:00:00",
+                        html=None, text=t, lang="en"))
+    schema = "url string, warc_ts string, html binary, text string, lang string"
+    src = str(tmp_path_factory.mktemp("cdc") / "in")
+    spark.createDataFrame(rows, schema).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    ).write.parquet(src)
+
+    stream = stream_pages(spark, src)
+    out = stream_changed_rows(
+        stream, key="url", ts_col="warc_ts", value_cols=["text", "lang"]
+    )
+    run_to_memory(out, "cdc_out", complete=False)
+    got = spark.table("cdc_out").toPandas()
+
+    per_key = got.groupby("url").size().to_dict()
+    assert per_key == {"u1": 4, "u2": 1, "u3": 2}
+
+    # batch twin: value != lag(value) over (key, ts)
+    batch = spark.createDataFrame(rows, schema).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    )
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    twin = (
+        batch.withColumn("__prev", F.lag("text").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("text") != F.col("__prev")))
+        .select("url", "warc_ts", "text", "lang")
+    )
+    a = set(map(tuple, got[["url", "text"]].values))
+    b = {(r["url"], r["text"]) for r in twin.collect()}
+    assert a == b
