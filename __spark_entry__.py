@@ -1140,15 +1140,22 @@ def q_online_store_lookup(spark, sf_dir):
     return out.select("user_id", "ts", F.round("value", 6).alias("value"))
 
 
+_COMPOSITE_STORES: dict[str, str] = {}
+
+
 def _composite_store(spark, sf_dir):
     """Materialize a TWO-entity view (bucket = xxhash64(user_id,
     event_type)) into a temp serving store (VERDICT r02 next #1:
-    composite-key materialization; upstream materialize takes any view)."""
+    composite-key materialization; upstream materialize takes any view).
+    Memoized per sf_dir — two driver queries read the same store."""
     import tempfile
 
     from feast_spark.materialize import MaterializeJob
     from feast_spark.registry import Entity, FeatureSpec, FeatureView
 
+    cached = _COMPOSITE_STORES.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
     dest = os.path.join(tempfile.mkdtemp(prefix="fs_drv_"), "store")
     view = FeatureView(
         name="ev_comp",
@@ -1161,6 +1168,7 @@ def _composite_store(spark, sf_dir):
         spark, view, dest, n_buckets=8, bucket_batch=8,
         transform=lambda df: df.select("user_id", "event_type", "ts", "value"),
     ).run("2023-01-01", "2025-01-01")
+    _COMPOSITE_STORES[sf_dir] = dest
     return dest
 
 

@@ -141,6 +141,9 @@ def pack_sequences(
     """
     import pandas as pd
 
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
     id_type = df.schema[id_col].dataType.simpleString()
     size_type = df.schema[size_col].dataType.simpleString()
     out_schema = (

@@ -407,6 +407,25 @@ class FeatureStore:
     def get_view(self, name: str) -> FeatureView:
         return self._views[name]
 
+    def list_views(self) -> list[str]:
+        return sorted(self._views)
+
+    def delete_view(self, name: str) -> None:
+        """Upstream registry delete: refuse while a service references
+        the view (consumers would break silently at retrieval time)."""
+        holders = [
+            s.name
+            for s in self._services.values()
+            if any(r.split(":")[0] == name for r in s.features)
+        ]
+        if holders:
+            raise ValueError(
+                f"view {name!r} is referenced by service(s) {holders}; "
+                "delete or update them first"
+            )
+        del self._views[name]
+        self._save_registry()
+
     # -- retrieval ----------------------------------------------------
     def get_historical_features(
         self,
@@ -427,6 +446,14 @@ class FeatureStore:
             features = list(features.features)
         elif isinstance(features, str):
             features = list(self._services[features].features)
+        # upstream accepts a pandas entity_df; normalize to Spark
+        try:
+            import pandas as _pd
+
+            if isinstance(entity_df, _pd.DataFrame):
+                entity_df = self.spark.createDataFrame(entity_df)
+        except ImportError:
+            pass
 
         odfv_refs = [f for f in features if f.split(":")[0] in self._odfvs]
         base_refs = [f for f in features if f not in odfv_refs]

@@ -204,7 +204,7 @@ def write_table(
                 )
         schema_json = T.StructType(merged).json()
 
-    snap_id = (prev["snapshot_id"] + 1) if prev else 1
+    snap_id = next_snapshot_id(root, prev)
     snapshot = {
         "snapshot_id": snap_id,
         "parent": prev["snapshot_id"] if prev else None,
@@ -376,6 +376,21 @@ def collect_stats_distributed(
     return sorted(stats, key=lambda s: s["path"])
 
 
+def next_snapshot_id(root: str, prev: dict | None) -> int:
+    """1 + the highest snapshot id ON DISK (not ``prev + 1``): after a
+    ``rollback`` HEAD points at an older snapshot, and a prev+1 commit
+    would silently overwrite the rolled-back-from manifest (r03
+    self-review). Unique ids keep every snapshot roll-forward-able until
+    ``expire_snapshots``."""
+    meta = os.path.join(root, META_DIR)
+    highest = prev["snapshot_id"] if prev else 0
+    if os.path.isdir(meta):
+        for name in os.listdir(meta):
+            if name.startswith("snap-") and name.endswith(".json"):
+                highest = max(highest, int(name[5:-5]))
+    return highest + 1
+
+
 def _commit_snapshot(root: str, snapshot: dict) -> None:
     """Atomic single-writer commit: write snap file, then flip HEAD (the
     crash-consistent subset of Iceberg's commit). Both publications go
@@ -496,7 +511,7 @@ def compact_table(
     if snap is None:
         raise FileNotFoundError(f"no table at {root}")
     key_col, ts_col = snap["key_col"], snap["ts_col"]
-    new_snap_id = snap["snapshot_id"] + 1
+    new_snap_id = next_snapshot_id(root, snap)
 
     by_cell: dict[tuple, list[dict]] = {}
     for fstat in snap["files"]:
@@ -978,7 +993,7 @@ def upsert_table(
     # ``upsert-<snap>-*`` names (which _list_data_files ignores) — a
     # crash before commit leaves inert orphans, never files a later
     # append could mistake for its own and double-register
-    new_snap_id = snap["snapshot_id"] + 1
+    new_snap_id = next_snapshot_id(root, snap)
     stage = os.path.join(root, "_staging", f"upsert-{new_snap_id:06d}")
     staged = (
         merged.withColumn("dt", dt_expr(ts_col, gran))

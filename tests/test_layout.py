@@ -670,3 +670,31 @@ def test_remove_orphan_files(spark, tmp_path_factory, monkeypatch):
     # table content untouched; a second sweep finds nothing
     assert layout.read_table(spark, root).count() == before
     assert layout.remove_orphan_files(root)["orphans_found"] == 0
+
+
+def test_append_after_rollback_gets_unique_snapshot_id(spark, tmp_path_factory):
+    """r03 self-review: a commit after rollback must NOT reuse the
+    rolled-back-from snapshot id (prev+1 would overwrite that manifest,
+    stranding its data files). New ids continue past the on-disk max."""
+    from pyspark.sql import Row
+
+    root = str(tmp_path_factory.mktemp("rbid") / "tbl")
+
+    def mk(urls, v):
+        return spark.createDataFrame(
+            [Row(url=u, warc_ts="2023-06-01 00:00:00", v=v) for u in urls]
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    s1 = layout.write_table(mk(["a", "b"], 1), root, n_buckets=2)
+    s2 = layout.write_table(mk(["c"], 2), root, n_buckets=2, mode="append")
+    layout.rollback(root, s1)
+    s3 = layout.write_table(mk(["d"], 3), root, n_buckets=2, mode="append")
+    assert s3 == s2 + 1  # unique, not a reuse of s2
+    # s2's manifest intact: roll forward still possible
+    snap2 = layout.load_snapshot(root, s2)
+    assert {f["path"] for f in snap2["files"]}  # readable, non-empty
+    layout.rollback(root, s2)
+    assert layout.read_table(spark, root).count() == 3  # a, b, c
+    layout.rollback(root, s3)
+    got = {r["url"] for r in layout.read_table(spark, root).collect()}
+    assert got == {"a", "b", "d"}  # the branch from s1

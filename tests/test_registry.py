@@ -331,3 +331,42 @@ def test_saved_dataset_roundtrip(spark, data_dir, probes_df, tmp_path_factory):
     # saving under the same name twice refuses (immutable audit artifact)
     with pytest.raises(Exception):
         s2.create_saved_dataset("train_v1", out)
+
+
+def test_pandas_entity_df_and_view_management(spark, data_dir, tmp_path_factory):
+    """Upstream parity: get_historical_features accepts a pandas
+    entity_df; list/delete view management with service-reference
+    protection."""
+    import os
+
+    import pandas as pd
+
+    from feast_spark.registry import FeatureService
+
+    enriched = str(tmp_path_factory.mktemp("pdf") / "pg.parquet")
+    spark.read.parquet(os.path.join(data_dir, "pages.parquet")).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.parquet(enriched)
+    s = FeatureStore(spark)
+    s.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=enriched,
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    urls = [r["url"] for r in spark.read.parquet(enriched).select("url").limit(3).collect()]
+    pdf = pd.DataFrame({"url": urls, "ts": pd.Timestamp("2024-02-01")})
+    out = s.get_historical_features(pdf, ["pg:n_chars"])
+    assert out.count() == 3
+
+    assert s.list_views() == ["pg"]
+    s.apply(FeatureService(name="svc", features=["pg:n_chars"]))
+    with pytest.raises(ValueError, match="referenced by service"):
+        s.delete_view("pg")
+    del s._services["svc"]
+    s.delete_view("pg")
+    assert s.list_views() == []
