@@ -1023,6 +1023,21 @@ def q_validate_events(spark, sf_dir):
     )
 
 
+def q_hll_daily_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup (rows-only: DataSketches HLL estimates
+    are implementation-specific, not DuckDB-replicable; the
+    merged==single-pass identity is pinned in tests/test_sketches.py):
+    per-day user sketches unioned into range distincts without rescans
+    (operators/sketches.py)."""
+    from feast_spark.operators.sketches import hll_rollup, hll_union_rows
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_rollup(ev, "user_id", part_col="day")
+    return hll_union_rows(daily).select(
+        F.col("approx_distinct").cast("long").alias("approx_users")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing (rows-only: packing is sequentially
     order-dependent, not SQL-expressible; semantics pinned in
@@ -1890,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- sample and stay covered by the harness replica pytest
         "grouping_sets": q_grouping_sets,
         "pack_sequences": q_pack_sequences,
+        "hll_daily_rollup": q_hll_daily_rollup,
         "cube_lang_source": q_cube_lang_source,
         "order_ship_priority": q_order_ship_priority,
         "quantiles_per_lang": q_quantiles_per_lang,
