@@ -412,6 +412,11 @@ def push_to_online(
     n_buckets = meta["n_buckets"]
 
     df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if key_cols == [MaterializeJob.DUMMY_KEY] and (
+        MaterializeJob.DUMMY_KEY not in df.columns
+    ):
+        # entity-less store: inject the constant key like materialize
+        df = df.withColumn(MaterializeJob.DUMMY_KEY, F.lit(1))
     latest = latest_per_key(
         df, key=key_cols, order=ts_col, created_col=created_col
     )

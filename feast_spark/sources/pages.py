@@ -592,11 +592,20 @@ def remove_orphan_files(root: str, *, dry_run: bool = False) -> dict:
     exists, so anything unreferenced is garbage."""
     meta = os.path.join(root, META_DIR)
     referenced: set[str] = set()
+    n_snaps = 0
     for name in os.listdir(meta):
         if name.startswith("snap-") and name.endswith(".json"):
+            n_snaps += 1
             referenced.update(
                 f["path"] for f in load_snapshot(root, name)["files"]
             )
+    if n_snaps == 0:
+        # a serving store (or corrupted table) has data but no snapshot
+        # manifests — "everything is an orphan" would mass-delete it
+        raise RuntimeError(
+            f"{root} has no snapshot manifests; refusing to sweep "
+            "(orphan removal only applies to snapshot tables)"
+        )
     orphans = [p for p in _list_all_data_files(root) if p not in referenced]
     freed = 0
     io = get_io()

@@ -75,15 +75,19 @@ def validate_table(df: DataFrame, expectations: list[dict]) -> DataFrame:
             observed = F.col("__n").cast("double")
             passed = F.col("__n") >= F.lit(int(exp["value"]))
         elif kind == "not_null":
-            observed = F.col(f"__m{i}") / F.greatest(F.col("__n"), F.lit(1))
+            # coalesce: sum() over an empty table is NULL — an empty
+            # table has a 0.0 null fraction, not an undefined one
+            observed = F.coalesce(F.col(f"__m{i}"), F.lit(0)) / F.greatest(
+                F.col("__n"), F.lit(1)
+            )
             passed = observed <= F.lit(float(exp.get("max_null_frac", 0.0)))
         elif kind == "unique":
             dupes = F.col("__n") - F.col(f"__m{i}")
             observed = dupes.cast("double")
             passed = dupes <= 0
         else:  # accepted_range / accepted_values: violation count
-            observed = F.col(f"__m{i}").cast("double")
-            passed = F.coalesce(F.col(f"__m{i}"), F.lit(0)) == 0
+            observed = F.coalesce(F.col(f"__m{i}"), F.lit(0)).cast("double")
+            passed = observed == 0
         out_rows.append(
             F.struct(
                 F.lit(kind).alias("kind"),

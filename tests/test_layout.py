@@ -698,3 +698,31 @@ def test_append_after_rollback_gets_unique_snapshot_id(spark, tmp_path_factory):
     layout.rollback(root, s3)
     got = {r["url"] for r in layout.read_table(spark, root).collect()}
     assert got == {"a", "b", "d"}  # the branch from s1
+
+
+def test_remove_orphans_refuses_serving_store(spark, tmp_path_factory):
+    """r03 self-review: a serving store has data but no snapshot
+    manifests — sweeping it would delete everything; must refuse."""
+    from datetime import timedelta
+
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+    from pyspark.sql import Row
+
+    base = tmp_path_factory.mktemp("orph_guard")
+    src = str(base / "src.parquet")
+    spark.createDataFrame(
+        [Row(url="u", warc_ts="2023-06-01 00:00:00", v=1)]
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")).write.parquet(src)
+    dest = str(base / "store")
+    view = FeatureView(
+        name="v", entity=Entity("url", "url"), source=src,
+        features=[FeatureSpec("v", "bigint")],
+        ttl=timedelta(days=9), timestamp_field="warc_ts",
+    )
+    MaterializeJob(spark, view, dest, n_buckets=2, bucket_batch=2).run(
+        "2023-01-01", "2024-01-01"
+    )
+    with pytest.raises(RuntimeError, match="no snapshot manifests"):
+        layout.remove_orphan_files(dest)
+    assert layout.read_table.__name__  # module sanity

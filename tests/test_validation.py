@@ -83,3 +83,20 @@ def test_expect_raises_listing_failures(spark, df):
     expect(df, [{"kind": "row_count_min", "value": 2}])  # passes silently
     with pytest.raises(ValueError, match="unknown expectation"):
         validate_table(df, [{"kind": "nope"}])
+
+
+def test_validate_empty_table(spark):
+    out = {
+        r["kind"]: (r["passed"], r["observed"])
+        for r in validate_table(
+            spark.createDataFrame([], "id long, v double"),
+            [
+                {"kind": "row_count_min", "value": 1},
+                {"kind": "not_null", "column": "v"},
+                {"kind": "accepted_range", "column": "v", "min": 0},
+            ],
+        ).collect()
+    }
+    assert out["row_count_min"] == (False, 0.0)
+    assert out["not_null"] == (True, 0.0)   # vacuously: no nulls present
+    assert out["accepted_range"] == (True, 0.0)
