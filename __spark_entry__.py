@@ -857,6 +857,40 @@ def q_near_dup_clusters(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters_star(spark, sf_dir):
+    """Same clustering as near_dup_clusters but via alternating
+    large/small-star CC (O(log² n) rounds — the deep-graph scale path;
+    operators/dedupe.py connected_components_star). Shares the RECURSIVE
+    transitive-closure oracle: both algorithms must yield identical
+    components."""
+    from feast_spark.operators.dedupe import (
+        connected_components_star,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.7, shingle_k=3)
+    comp = connected_components_star(pairs)
+    out = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .withColumn("keep", (F.col("doc_id") == F.col("component")))
+    )
+    return out.select(
+        "doc_id", "component", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → typed metadata struct
     (mapInPandas). Payload here is the utf-8 text bytes (no codecs in
@@ -1901,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "near_dup_clusters": q_near_dup_clusters,
         "cosine_topk": q_cosine_topk,
+        "near_dup_clusters_star": q_near_dup_clusters_star,
         # ---- fold: entries below are typically outside the driver's
         # ---- sample and stay covered by the harness replica pytest
         "grouping_sets": q_grouping_sets,
@@ -1959,6 +1994,8 @@ def oracle_sql() -> dict[str, str]:
     # strategy variants share one oracle (semantics must be identical)
     out["pit_created_tiebreak_broadcast"] = out["pit_created_tiebreak"]
     out["pit_created_tiebreak_cogroup"] = out["pit_created_tiebreak"]
+    # both CC algorithms must produce identical clusters
+    out["near_dup_clusters_star"] = out["near_dup_clusters"]
     # a FeatureService resolving to the two views must equal direct
     # multi-view retrieval
     out["feature_service_retrieval"] = out["pit_two_views_prefixed"]

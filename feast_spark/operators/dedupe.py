@@ -369,6 +369,101 @@ def connected_components(
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log² n) ROUNDS on any
+    graph, vs min-label propagation's O(diameter)
+    (``connected_components``). Use this when near-dup graphs may chain
+    deeply (e.g. template pages forming long similarity chains); the
+    min-label version stays the default for shallow graphs (fewer, but
+    cheaper, rounds).
+
+    large-star: every node's strictly-LARGER neighbors re-attach to the
+    smallest node of its closed neighborhood; small-star: the
+    smaller-or-equal neighbors (and the node) re-attach likewise. Each
+    half-round is one job (change detection rides the same action via
+    ``observe``); fixpoint = the edge multiset checksum repeating.
+    Returns (id, component), component = min id of the cluster — same
+    contract as ``connected_components``; equality is property-tested.
+    """
+    from pyspark.sql import Observation
+
+    sym = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = sym.unionByName(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v")).distinct()
+    nodes = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    edges = sym.localCheckpoint()
+
+    def _round(e: DataFrame, large: bool) -> DataFrame:
+        """One star operation over the SYMMETRIC adjacency ``e``.
+        Join-based (never collect_list): a hot node's neighbor set stays
+        distributed — m is a per-u aggregate joined back to the edges,
+        so the widest row is one edge, not one adjacency list."""
+        cand = e if large else e.filter(F.col("v") <= F.col("u"))
+        mins = (
+            cand.groupBy("u")
+            .agg(F.min("v").alias("__mnv"))
+            .select("u", F.least(F.col("__mnv"), F.col("u")).alias("m"))
+        )
+        src = e.filter(F.col("v") > F.col("u")) if large else cand
+        attach = src.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            attach = attach.unionByName(
+                mins.select(F.col("u"), F.col("m").alias("v"))
+            )
+        return attach.filter(F.col("u") != F.col("v")).distinct()
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        stepped = _round(_sym(_round(edges, large=True)), large=False)
+        sym_next = _sym(stepped)  # re-symmetrize for the next large-star
+        obs = Observation()
+        sym_next = sym_next.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # order-insensitive multiset checksum; xor cannot overflow
+            # (a sum of xxhash64 longs can — ANSI arithmetic error)
+            F.expr("bit_xor(xxhash64(u, v))").alias("sig"),
+        ).localCheckpoint()
+        sig = (obs.get["n"], obs.get["sig"])
+        edges = sym_next
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # at fixpoint small-star edges point every node at its component min
+    parent = edges.filter(F.col("v") < F.col("u")).groupBy("u").agg(
+        F.min("v").alias("component")
+    )
+    return (
+        nodes.join(parent, nodes["id"] == parent["u"], "left")
+        .select(
+            nodes["id"], F.coalesce("component", nodes["id"]).alias("component")
+        )
+    )
+
+
 def near_dup_keepers(
     doc_ids: DataFrame,
     pairs: DataFrame,

@@ -341,3 +341,66 @@ def test_hyperplane_signature_plan_stays_small_at_dim_512(spark):
     assert len(rows) == 4 and all(r["sig"] is not None for r in rows)
     # analysis+execution of 4 rows must be interactive, not minutes
     assert time.monotonic() - t0 < 60
+
+
+def test_star_cc_equals_min_label(spark):
+    """Alternating large/small-star CC (O(log² n) rounds) must produce
+    identical components to min-label propagation on chains, cliques,
+    stars, and seeded random graphs."""
+    import random
+
+    from pyspark.sql import Row
+
+    from feast_spark.operators.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = {
+        "chain+clique+pair": [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12),
+                              (11, 12), (20, 21)],
+        "long_chain": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 15)],
+    }
+    rng = random.Random(42)
+    cases["random_sparse"] = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(50)
+    ]
+    cases["random_sparse"] = [(a, b) for a, b in cases["random_sparse"] if a != b]
+
+    for name, pairs in cases.items():
+        df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+        ml = {r["id"]: r["component"]
+              for r in connected_components(df, max_iter=60).collect()}
+        st = {r["id"]: r["component"]
+              for r in connected_components_star(df).collect()}
+        assert ml == st, (name, ml, st)
+
+
+def test_star_cc_fewer_rounds_on_deep_chain(spark, monkeypatch):
+    """The point of the star method: a 48-node chain needs ~47 min-label
+    rounds but O(log²) star rounds — count via localCheckpoint spies."""
+    from pyspark.sql import Row
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from feast_spark.operators.dedupe import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(47)])
+    counts = {"n": 0}
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, *a, **kw):
+        counts["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    connected_components_star(pairs).collect()
+    star_ckpts = counts["n"]
+    counts["n"] = 0
+    connected_components(pairs, max_iter=60).collect()
+    ml_ckpts = counts["n"]
+    monkeypatch.undo()
+    assert star_ckpts < ml_ckpts / 3, (star_ckpts, ml_ckpts)
