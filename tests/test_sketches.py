@@ -58,3 +58,19 @@ def test_hll_grouped(spark, events):
     assert per_type.keys() == exact.keys()
     for k in exact:
         assert abs(per_type[k] - exact[k]) / exact[k] < 0.1, k
+
+
+def test_count_min_heavy_hitters(spark, events):
+    """Count-Min: estimates are ≥ true counts (one-sided error) and
+    tight for heavy hitters."""
+    sk = spark.sparkContext._jvm.org.apache.spark.util.sketch.CountMinSketch
+    row = __import__("feast_spark.operators.sketches", fromlist=["freq_sketch"]) \
+        .freq_sketch(events, "event_type").first()
+    cms = sk.readFrom(bytes(row["cms"]))
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, n in exact.items():
+        est = cms.estimateCount(k)
+        assert n <= est <= n * 1.05, (k, n, est)
