@@ -1086,6 +1086,24 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    """C4-style duplicate-span removal (operators/text.py dedup_spans):
+    with planted cross-document boilerplate, only the globally first
+    occurrence of each 20-token span survives."""
+    from feast_spark.operators.text import dedup_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    # plant boilerplate: clones of doc 0's text at high ids
+    clones = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(clones)
+    out = dedup_spans(corpus, span_tokens=20)
+    return out.select("doc_id", "pos", "span")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -1929,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "canonical_url": q_canonical_url,
         "bpe_token_count": q_bpe_token_count,
+        "dedup_spans": q_dedup_spans,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "fingerprint_clusters": q_fingerprint_clusters,
@@ -2956,6 +2975,29 @@ def _oracles() -> dict[str, str]:
                    max(CAST(round(l_quantity * 100) AS BIGINT))
                      AS max_qty_cents
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_spans": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 200
+              UNION ALL
+              SELECT doc_id + 500000, text FROM documents WHERE doc_id < 3
+            ),
+            toks AS (
+              SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+            ),
+            spans AS (
+              SELECT doc_id, i.i AS pos,
+                     array_to_string(tk[i.i : i.i + 19], ' ') AS span
+              FROM toks,
+                   LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(tk), 1), 20)) AS i) i
+            )
+            SELECT doc_id, pos, span FROM (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY span
+                       ORDER BY doc_id, pos) AS rn
+              FROM spans
+            ) WHERE rn = 1
         """,
         "stratified_sample": """
             SELECT event_id, event_type, round(value, 6) AS value

@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -409,6 +409,63 @@ def redact_pii(col: str | Column = "text") -> Column:
 
 
 # ---------------------------------------------------- decontamination ------
+
+
+def dedup_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    rebuild: bool = False,
+) -> DataFrame:
+    """C4-style duplicate-SPAN removal (Raffel et al. 2020 §2.2 dedupe a
+    three-sentence span occurring more than once; token-span variant for
+    sentence-less corpora): split each doc into consecutive
+    ``span_tokens``-token spans, keep only the globally FIRST occurrence
+    of each distinct span (ordered by (doc_id, position) — deterministic
+    under any partitioning), drop the rest. Catches boilerplate
+    paragraphs duplicated ACROSS documents that whole-doc dedup misses.
+
+    Returns kept spans (id, pos, span); with ``rebuild=True``, one row
+    per surviving doc with the deduped text reassembled in span order.
+
+    Scale shape: the explode is ∝ tokens (same as MinHash shingling);
+    the one corpus-wide shuffle keys on xxhash64(span) — fixed-width
+    keys, not span text — and first-occurrence selection is a window
+    rank inside those hash partitions. No driver collects.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(span_tokens))
+    spans = df.select(
+        F.col(id_col),
+        F.explode(starts).alias("pos"),
+        toks.alias("__tk"),
+    ).select(
+        id_col,
+        "pos",
+        F.concat_ws(" ", F.slice("__tk", F.col("pos"), span_tokens)).alias("span"),
+    )
+    # shuffle keys on the span HASH (fixed width); the exact span rides
+    # as a second partition key so a hash collision never drops a
+    # non-duplicate
+    w = Window.partitionBy(F.xxhash64("span"), "span").orderBy(id_col, "pos")
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not rebuild:
+        return kept
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(F.array_sort(
+                F.collect_list(F.struct("pos", "span"))
+            ), lambda s: s["span"])
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_spans_kept"),
+    )
 
 
 def ngram_contamination(

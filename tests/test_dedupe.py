@@ -404,3 +404,31 @@ def test_star_cc_fewer_rounds_on_deep_chain(spark, monkeypatch):
     ml_ckpts = counts["n"]
     monkeypatch.undo()
     assert star_ckpts < ml_ckpts / 3, (star_ckpts, ml_ckpts)
+
+
+def test_dedup_spans_removes_cross_doc_boilerplate(spark):
+    """C4-style span dedup: a boilerplate footer shared by many docs
+    survives exactly once (in the lowest (doc_id, pos)); unique content
+    is untouched; rebuild reassembles spans in order."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import dedup_spans
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # exactly one span
+    rows = [
+        Row(doc_id=i, text=" ".join(f"u{i}w{j}" for j in range(20)) + " " + boiler)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    kept = dedup_spans(df, span_tokens=20).toPandas()
+    boiler_rows = kept[kept["span"] == boiler]
+    assert len(boiler_rows) == 1
+    assert boiler_rows.iloc[0]["doc_id"] == 0  # first occurrence wins
+    # every doc keeps its unique leading span
+    assert kept[kept["pos"] == 1]["doc_id"].nunique() == 5
+
+    rebuilt = dedup_spans(df, span_tokens=20, rebuild=True).toPandas()
+    r0 = rebuilt[rebuilt["doc_id"] == 0].iloc[0]
+    assert r0["text_dedup"] == rows[0].text  # doc 0 intact, order kept
+    r3 = rebuilt[rebuilt["doc_id"] == 3].iloc[0]
+    assert boiler not in r3["text_dedup"] and "u3w0" in r3["text_dedup"]
