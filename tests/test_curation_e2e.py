@@ -1,0 +1,116 @@
+"""End-to-end LLM training-data curation pipeline: the components are
+individually oracle-checked; this test pins that they COMPOSE — the flow
+a real user would run over 100 TB, exercised at test scale:
+
+raw docs → quality filter (Gopher rules) → PII redaction → exact dedup →
+cross-doc span dedup → near-dup clustering (keep one per cluster) →
+stratified sample per language → token-budget sequence packing →
+deterministic train/test split.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.operators.dedupe import exact_dedup, near_dup_keepers, ngram_jaccard_pairs
+from feast_spark.operators.sampling import hash_split, pack_sequences, stratified_sample
+from feast_spark.operators.text import dedup_spans, gopher_quality_features, redact_pii
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant the pathologies each stage must catch
+    exact_copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    near_dups = base.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pii = spark.createDataFrame(
+        [Row(doc_id=30_000,
+             text="contact bob@example.com or 192.168.0.1 " + "word " * 60,
+             lang="en", source="web", n_chars=100)]
+    )
+    junk = spark.createDataFrame(
+        [Row(doc_id=40_000, text="a a a a", lang="en", source="web",
+             n_chars=7)]  # fails Gopher min-length
+    )
+    return base.unionByName(exact_copies).unionByName(near_dups) \
+        .unionByName(pii).unionByName(junk).cache()
+
+
+def test_full_curation_pipeline(spark, raw_docs):
+    n0 = raw_docs.count()
+
+    # 1. quality filter (Gopher rules)
+    flagged = gopher_quality_features(raw_docs, text_col="text")
+    clean = flagged.filter(F.col("gopher_keep")).select(*raw_docs.columns)
+    n1 = clean.count()
+    assert n1 < n0  # the junk doc (at least) dropped
+    assert clean.filter(F.col("doc_id") == 40_000).count() == 0
+
+    # 2. PII redaction
+    redacted = clean.withColumn("text", redact_pii(F.col("text")))
+    leaked = redacted.filter(
+        F.col("text").contains("bob@example.com")
+        | F.col("text").contains("192.168.0.1")
+    )
+    assert leaked.count() == 0
+    assert redacted.count() == n1  # redaction never drops rows
+
+    # 3. exact dedup on text
+    exact = exact_dedup(redacted, ["text"])
+    n3 = exact.count()
+    assert n3 <= n1 - 5  # the 5 planted exact copies collapse
+
+    # 4. cross-doc span dedup (keep docs, count surviving spans)
+    spans_kept = dedup_spans(exact, span_tokens=20, rebuild=True)
+    assert spans_kept.count() <= n3
+
+    # 5. near-dup clustering: keep one doc per cluster
+    pairs = ngram_jaccard_pairs(exact, threshold=0.7, shingle_k=3)
+    keepers = near_dup_keepers(exact.select("doc_id"), pairs)
+    survivors = exact.join(
+        keepers.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    n5 = survivors.count()
+    assert n5 < n3  # planted near-dups collapsed
+    # the planted near-dup clones collapse (originals = smaller ids =
+    # keepers); allow one stray for a very short doc whose one-token
+    # mutation drops Jaccard below threshold
+    assert survivors.filter(F.col("doc_id") >= 20_000).count() <= 1
+
+    # 6. stratified sample per language (deterministic)
+    sampled = stratified_sample(
+        survivors, group_col="lang", id_col="doc_id", k=50
+    )
+    sizes = {r["lang"]: r["n"] for r in sampled.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 50 for v in sizes.values())
+
+    # 7. token-budget packing
+    with_tokens = sampled.withColumn(
+        "n_tok", F.size(F.split("text", r"\s+")).cast("long")
+    )
+    packed = pack_sequences(
+        with_tokens.select("doc_id", "n_tok"),
+        id_col="doc_id", size_col="n_tok", budget=4096, n_shards=4,
+    )
+    assert packed.count() == sampled.count()  # every doc assigned
+    over = packed.groupBy("pack_id").agg(
+        F.sum("n_tok").alias("t"), F.max("oversize").alias("o")
+    ).filter((F.col("t") > 4096) & ~F.col("o"))
+    assert over.count() == 0
+
+    # 8. split — stable across the pipeline
+    split = hash_split(sampled, id_col="doc_id", test_frac=0.2)
+    assert split.filter(F.col("split") == "test").count() > 0
+    assert split.count() == sampled.count()
