@@ -1786,6 +1786,38 @@ def q_stream_online_upsert(spark, sf_dir):
     )
 
 
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join driver-verified as a REAL streaming
+    run: purchases attach to the same user's views within 1 hour
+    (attribution shape); equals the batch interval join
+    (streaming/pipeline.py stream_stream_join)."""
+    import uuid
+
+    from feast_spark.streaming.pipeline import stream_stream_join
+
+    stream, _d = _stream_events(spark, sf_dir)
+    views = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    joined = stream_stream_join(
+        views, purchases, key="user_id", left_ts="vts", right_ts="pts",
+        within="1 hour", watermark="2 hours",
+    )
+    name = "j" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "vid", "vts", F.col("r_pid").alias("pid"),
+        F.col("r_pts").alias("pts"),
+    )
+
+
 def q_stream_changed_rows(spark, sf_dir):
     """Spark 4 transformWithStateInPandas CDC driver-verified: per-key
     change suppression as an actual streaming run — only rows whose
@@ -2004,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_enrich": q_stream_static_enrich,
         "stream_dedupe": q_stream_dedupe,
         "stream_changed_rows": q_stream_changed_rows,
+        "stream_stream_join": q_stream_stream_join,
     }
 
 
@@ -2257,6 +2290,14 @@ def _oracles() -> dict[str, str]:
         "stream_dedupe": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events
+        """,
+        "stream_stream_join": """
+            SELECT v.user_id, v.event_id AS vid, v.ts AS vts,
+                   p.event_id AS pid, p.ts AS pts
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         """,
         "stream_changed_rows": """
             SELECT user_id, ts, event_type

@@ -217,6 +217,47 @@ def stateful_crawl_stats(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream interval join (the attribution shape: attach each
+    right-stream event to same-key left-stream events it follows within
+    ``within``). Both sides carry watermarks and the join condition
+    bounds event-time distance, so Spark can size and EXPIRE the
+    buffered state on both sides — the requirement for unbounded
+    stream-stream inner joins (T-coverage beyond stream-static enrich).
+
+    Right-side columns are prefixed (``right_prefix``) except the join
+    key, so self-joins of one logical stream work. Batch twin: the same
+    interval equi-join as a plain SQL join — replay equivalence is the
+    driver check."""
+    l = with_watermark(left, left_ts, watermark)
+    r = with_watermark(right, right_ts, watermark)
+    r = r.select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    rts = f"{right_prefix}{right_ts}"
+    cond = (
+        (l[key] == r[key])
+        & (F.col(rts) >= F.col(left_ts))
+        & (F.col(rts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def stream_changed_rows(
     df: DataFrame,
     *,

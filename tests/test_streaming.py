@@ -318,3 +318,41 @@ def test_stream_changed_rows_suppresses_unchanged(spark, tmp_path_factory):
     a = set(map(tuple, got[["url", "text"]].values))
     b = {(r["url"], r["text"]) for r in twin.collect()}
     assert a == b
+
+
+def test_stream_stream_join_interval_bounds(spark, tmp_path_factory):
+    """Stream-stream interval join: inclusive [left_ts, left_ts+within]
+    bounds, key-scoped, right columns prefixed."""
+    from pyspark.sql import Row
+
+    from feast_spark.streaming.pipeline import stream_stream_join
+
+    d = tmp_path_factory.mktemp("ssj")
+    lrows = [Row(user="u1", vts="2023-06-01 10:00:00", vid=1),
+             Row(user="u2", vts="2023-06-01 10:00:00", vid=2)]
+    rrows = [
+        Row(user="u1", pts="2023-06-01 10:30:00", pid=10),  # in window
+        Row(user="u1", pts="2023-06-01 11:00:00", pid=11),  # boundary: in
+        Row(user="u1", pts="2023-06-01 11:00:01", pid=12),  # just out
+        Row(user="u1", pts="2023-06-01 09:59:59", pid=13),  # before: out
+        Row(user="u2", pts="2023-06-01 10:30:00", pid=20),  # other key
+    ]
+    lsrc, rsrc = str(d / "l"), str(d / "r")
+    spark.createDataFrame(lrows).withColumn(
+        "vts", F.col("vts").cast("timestamp")).write.parquet(lsrc)
+    spark.createDataFrame(rrows).withColumn(
+        "pts", F.col("pts").cast("timestamp")).write.parquet(rsrc)
+
+    ls = spark.readStream.schema("user string, vts timestamp, vid long").parquet(lsrc)
+    rs = spark.readStream.schema("user string, pts timestamp, pid long").parquet(rsrc)
+    out = stream_stream_join(
+        ls, rs, key="user", left_ts="vts", right_ts="pts", within="1 hour"
+    )
+    import uuid
+
+    name = "ssj" + uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table(name).toPandas()
+    assert sorted(zip(got["vid"], got["r_pid"])) == [(1, 10), (1, 11), (2, 20)]
