@@ -1,4 +1,5 @@
-"""Deterministic corpus sampling / splitting (training-data curation).
+"""Deterministic corpus sampling / splitting (SURVEY.md §8 round-3;
+task-spec training-data-pipeline components beyond the reference).
 
 A 100 TB pipeline needs reproducible subsetting: the same inputs must
 yield byte-identical samples on any cluster size, any partitioning, any
