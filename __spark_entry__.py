@@ -521,6 +521,9 @@ def q_approx_distinct(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
+    """Heuristic language ID (marker-word argmax, first-wins ties) —
+    oracle-checked since r03: the DuckDB twin replays the same
+    tokenize/count/fold (operators/text.py lang_id)."""
     from feast_spark.operators.text import lang_id
 
     d = _t(spark, sf_dir, "documents")
@@ -2348,6 +2351,41 @@ def _oracles() -> dict[str, str]:
         "stream_dedupe": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events
+        """,
+        "lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(text),
+                       '[^a-zäöüéèàç]+') AS tk
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                len(list_filter(tk, t -> list_contains(
+                  ['the','and','of','to','is','that','with'], t))) AS h_en,
+                len(list_filter(tk, t -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein'], t))) AS h_de,
+                len(list_filter(tk, t -> list_contains(
+                  ['le','la','les','et','est','une','dans'], t))) AS h_fr,
+                len(list_filter(tk, t -> list_contains(
+                  ['el','la','los','que','es','una','por'], t))) AS h_es
+              FROM toks
+            ),
+            s1 AS (SELECT doc_id, h_de, h_fr, h_es,
+                          CASE WHEN h_en > 0 THEN 'en' ELSE 'zz' END AS b,
+                          CASE WHEN h_en > 0 THEN h_en ELSE 0 END AS n
+                   FROM h),
+            s2 AS (SELECT doc_id, h_fr, h_es,
+                          CASE WHEN h_de > n THEN 'de' ELSE b END AS b,
+                          CASE WHEN h_de > n THEN h_de ELSE n END AS n
+                   FROM s1),
+            s3 AS (SELECT doc_id, h_es,
+                          CASE WHEN h_fr > n THEN 'fr' ELSE b END AS b,
+                          CASE WHEN h_fr > n THEN h_fr ELSE n END AS n
+                   FROM s2)
+            SELECT doc_id,
+                   CASE WHEN h_es > n THEN 'es' ELSE b END AS lang_pred
+            FROM s3
         """,
         "stream_stream_join": """
             SELECT v.user_id, v.event_id AS vid, v.ts AS vts,
