@@ -420,6 +420,12 @@ def push_to_online(
     latest = latest_per_key(
         df, key=key_cols, order=ts_col, created_col=created_col
     )
+    # observe the deduped PUSHED batch here, before the union with
+    # pre-existing bucket residents — rows_pushed must report the batch
+    # size, not everything rewritten into touched buckets (ADVICE r03).
+    # The observation rides the final write (no extra action).
+    obs = Observation()
+    latest = latest.observe(obs, F.count(F.lit(1)).alias("rows"))
     touched = sorted(
         r["b"]
         for r in df.select(
@@ -442,8 +448,6 @@ def push_to_online(
     latest = latest.withColumn(
         "__bucket", layout.bucket_expr(key_cols, n_buckets)
     )
-    obs = Observation()
-    latest = latest.observe(obs, F.count(F.lit(1)).alias("rows"))
     out_tmp = os.path.join(dest, "_staging", f"push-{touched[0]}")
     (
         latest.repartition("__bucket")

@@ -85,7 +85,13 @@ def stratified_sample(
         ),
         8, "0",
     )
-    joined = hashed.join(F.broadcast(counts), group_col)
+    # eqNullSafe: a NULL stratum must survive the prefilter join too —
+    # the window strategy samples it, so both strategies must agree on
+    # nullable group columns (ADVICE r03 low)
+    cdf = F.broadcast(counts.withColumnRenamed(group_col, "__g"))
+    joined = hashed.join(
+        cdf, F.col(group_col).eqNullSafe(F.col("__g"))
+    ).drop("__g")
     survivors = joined.filter(
         # saturated strata (n ≤ oversample·k) keep everything — also
         # dodges the frac=1.0 edge where the hex cut would be 9 digits
@@ -94,10 +100,22 @@ def stratified_sample(
     )
     w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
     ranked = survivors.withColumn("__rn", F.row_number().over(w))
-    # guarantee check: each stratum must have min(k, n) survivors
+    # guarantee check: each stratum must keep min(k, n) survivors. The
+    # check is anchored on `counts` (every stratum in the INPUT), not on
+    # the survivors — a stratum whose every row hashed above the cut
+    # vanishes from `ranked` entirely and an agg over survivors would
+    # miss it, silently under-sampling (ADVICE r03 medium). Absent
+    # strata count as 0 via the left join. NOTE this is a second action
+    # that re-executes the survivor plan (documented trade; the prefilter
+    # makes the re-run ~oversample·k rows per stratum, not n).
+    got = ranked.groupBy(group_col).agg(F.max("__rn").alias("__got"))
     short = (
-        ranked.groupBy(group_col, "__n")
-        .agg(F.max("__rn").alias("__got"))
+        counts.join(
+            got.withColumnRenamed(group_col, "__g"),
+            F.col(group_col).eqNullSafe(F.col("__g")),
+            "left",
+        )
+        .withColumn("__got", F.coalesce(F.col("__got"), F.lit(0)))
         .filter(F.col("__got") < F.least(F.lit(k), F.col("__n")))
         .limit(1)
         .collect()

@@ -146,6 +146,26 @@ def _global_loads(code) -> set:
     return names
 
 
+def _ast_violations(tree) -> list[str]:
+    """Constructs a src-transform may not contain, found by walking the
+    whole AST (ADVICE r03): ``import`` / ``from .. import`` statements
+    anywhere in the tree — IMPORT_NAME bytecode never emits LOAD_GLOBAL,
+    so the bytecode allowlist alone misses a function-body import — and
+    dunder attribute access (``__class__`` / ``__subclasses__`` /
+    ``__globals__`` …), the standard allowlist escape."""
+    import ast
+
+    bad = []
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            bad.append("import statement")
+        elif isinstance(node, ast.Attribute) and (
+            node.attr.startswith("__") and node.attr.endswith("__")
+        ):
+            bad.append(f"dunder attribute .{node.attr}")
+    return bad
+
+
 def _allowed_globals() -> set:
     """Names a registry src-transform may reach: numpy/pandas aliases plus
     builtins MINUS the escape hatches (import/eval/exec/open/attr
@@ -203,6 +223,10 @@ def _serialize_transform(t: Callable) -> dict | None:
     # scan the bytecode for actual LOAD_GLOBAL names instead.
     if _global_loads(t.__code__) - _allowed_globals():
         return None
+    import ast
+
+    if _ast_violations(ast.parse(src)):  # symmetric with load (ADVICE r03)
+        return None
     return {"src": src, "fn": name}
 
 
@@ -232,6 +256,13 @@ def _deserialize_transform(blob: dict) -> Callable:
         raise ValueError(
             f"registry transform {blob.get('fn')!r}: src must be a single "
             "undecorated def of that name"
+        )
+    ast_bad = _ast_violations(tree)
+    if ast_bad:
+        raise ValueError(
+            f"registry transform {blob['fn']!r} contains disallowed "
+            f"constructs {sorted(set(ast_bad))}; use the "
+            "{'ref': 'module:name'} form"
         )
     code = compile(tree, "<feast_spark_registry>", "exec")
     bad = _global_loads(code) - _allowed_globals()

@@ -1,0 +1,165 @@
+"""Regression tests for the round-3 ADVICE findings (judge advisor):
+
+1. registry._deserialize_transform: a function-BODY ``import`` emits
+   IMPORT_NAME (not LOAD_GLOBAL), bypassing the bytecode allowlist — the
+   advisor verified the exploit live. The AST walk must reject
+   Import/ImportFrom anywhere in the tree, and dunder attribute access
+   (``__class__``/``__subclasses__``), symmetrically at save and load.
+2. sampling.stratified_sample threshold strategy: the guarantee check
+   must see strata whose EVERY row hashed above the cut (they vanish
+   from the survivor set, so an agg over survivors misses them).
+3. sampling.stratified_sample: NULL strata must survive the threshold
+   strategy's equi-join (eqNullSafe) so both strategies return the same
+   rows on nullable group columns.
+4. materialize.push_to_online: rows_pushed reports the pushed batch
+   size, not pushed + pre-existing bucket residents.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.operators.sampling import stratified_sample
+from feast_spark.registry import _deserialize_transform, _serialize_transform
+
+
+class TestRegistryImportBypass:
+    def test_function_body_import_rejected(self):
+        # the advisor's live exploit: IMPORT_NAME never emits LOAD_GLOBAL
+        with pytest.raises(ValueError, match="disallowed constructs"):
+            _deserialize_transform(
+                {
+                    "src": "def f(df):\n    import os\n    return os.getcwd()",
+                    "fn": "f",
+                }
+            )
+
+    def test_from_import_rejected(self):
+        with pytest.raises(ValueError, match="disallowed constructs"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    from subprocess import run\n"
+                        "    return df\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
+    def test_dunder_attribute_rejected(self):
+        # classic sandbox escape: ().__class__.__subclasses__()
+        with pytest.raises(ValueError, match="disallowed constructs"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    c = ().__class__\n"
+                        "    return df\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
+    def test_serialize_symmetric_refusal(self):
+        # save-time symmetry: a transform containing a body import
+        # serializes as None (in-memory only), never as src
+        def bad(pdf):
+            import os  # noqa: F401
+
+            return pdf
+
+        assert _serialize_transform(bad) is None
+
+    def test_benign_transform_still_roundtrips(self):
+        fn = _deserialize_transform(
+            {
+                "src": (
+                    "def f(pdf):\n"
+                    "    out = pd.DataFrame()\n"
+                    "    out['y'] = pdf['x'] + 1\n"
+                    "    return out\n"
+                ),
+                "fn": "f",
+            }
+        )
+        assert list(fn(pd.DataFrame({"x": [1, 2]}))["y"]) == [2, 3]
+
+
+class TestStratifiedSampleGuarantee:
+    def test_fully_vanished_stratum_raises(self, spark, monkeypatch):
+        """A stratum whose every row hashes above the cut disappears from
+        the survivor set entirely; the check must still catch it. Forced
+        deterministically by shrinking the cut to zero survivors."""
+        import feast_spark.operators.sampling as samp
+
+        df = spark.createDataFrame(
+            [Row(g="a", i=f"x{n}") for n in range(40)]
+            + [Row(g="b", i=f"y{n}") for n in range(40)]
+        )
+        orig = samp._hash_key
+
+        def skewed(id_col, seed):
+            # rows of stratum 'b' hash to the top of the space: the
+            # 8-hex-char prefix compare kills every one of them
+            h = orig(id_col, seed)
+            c = F.col("g") if not isinstance(id_col, str) else F.col("g")
+            return F.when(c == "b", F.concat(F.lit("ffffffff"), h)).otherwise(h)
+
+        monkeypatch.setattr(samp, "_hash_key", skewed)
+        with pytest.raises(RuntimeError, match="kept 0/"):
+            stratified_sample(
+                df, group_col="g", id_col="i", k=3,
+                strategy="threshold", oversample=1.0,
+            ).collect()
+
+    def test_null_stratum_matches_window_strategy(self, spark):
+        rows = [Row(g=None if n % 3 == 0 else f"g{n % 2}", i=f"id{n}")
+                for n in range(120)]
+        df = spark.createDataFrame(rows)
+        win = stratified_sample(
+            df, group_col="g", id_col="i", k=5, strategy="window"
+        )
+        thr = stratified_sample(
+            df, group_col="g", id_col="i", k=5,
+            strategy="threshold", oversample=8.0,
+        )
+        a = {(r.g, r.i) for r in win.collect()}
+        b = {(r.g, r.i) for r in thr.collect()}
+        assert a == b
+        assert any(g is None for g, _ in a)  # NULL stratum sampled
+
+
+class TestPushedRowCount:
+    def test_rows_pushed_excludes_preexisting(self, spark, tmp_path):
+        import os
+
+        from feast_spark.materialize import (
+            push_to_online,
+            read_online,
+            write_store_meta,
+        )
+
+        store = str(tmp_path / "store")
+        os.makedirs(store)
+        write_store_meta(store, n_buckets=4, key_col="url",
+                         key_type="string")
+        first = spark.createDataFrame(
+            [Row(url=f"u{n}", warc_ts="2023-06-01 00:00:00", v=1)
+             for n in range(20)]
+        )
+        m1 = push_to_online(spark, store, first, ts_col="warc_ts")
+        assert m1["rows_pushed"] == 20
+        # push 5 NEW keys into buckets that already hold the first 20:
+        # rows_pushed must be 5, not 5 + residents
+        second = spark.createDataFrame(
+            [Row(url=f"w{n}", warc_ts="2023-06-02 00:00:00", v=2)
+             for n in range(5)]
+        )
+        m2 = push_to_online(spark, store, second, ts_col="warc_ts")
+        assert m2["rows_pushed"] == 5
+        got = read_online(spark, store, ["u0", "w0"], key_col="url")
+        assert got.count() == 2
