@@ -1982,11 +1982,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST ~50
-    # entries (observed r01+r02), so round-2/3 additions (layout,
-    # serving, LLM-pipeline ops) are interleaved with the core here
-    # rather than appended (VERDICT r02 next #9). Everything below the
-    # fold stays oracle-verified by tests/test_driver_harness.py.
+    # entries (exactly 50 in r01-r03). Round-4 rotation (VERDICT r03 next
+    # #1): the 21 queries never driver-signed in any round lead the
+    # prefix (streaming runs, UDF surface V3-V5, ANN/clusters,
+    # multimodal, sketches, packing), followed by queries whose
+    # implementation changed this round, then r02-signed refreshes to
+    # fill 50. Everything below the fold was driver-signed green in
+    # r02/r03 and stays oracle-verified by tests/test_driver_harness.py.
     return {
+        # -- never driver-signed (r01-r03): streaming T2-T5
+        "stream_tumbling_day": q_stream_tumbling_day,
+        "stream_sessions": q_stream_sessions,
+        "stream_online_upsert": q_stream_online_upsert,
+        "stream_static_enrich": q_stream_static_enrich,
+        "stream_dedupe": q_stream_dedupe,
+        "stream_changed_rows": q_stream_changed_rows,
+        "stream_stream_join": q_stream_stream_join,
+        # -- never driver-signed: vectorized UDF surface V3-V5
+        "znorm_per_user": q_znorm_per_user,
+        "grouped_quantile_udf": q_grouped_quantile_udf,
+        "arrow_byte_stats": q_arrow_byte_stats,
+        # -- never driver-signed: multimodal V6
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "frame_sample": q_frame_sample,
+        # -- never driver-signed: ANN / clustering / sketches / packing
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_clusters_star": q_near_dup_clusters_star,
+        "hll_daily_rollup": q_hll_daily_rollup,
+        "pack_sequences": q_pack_sequences,
+        "simhash_pairs": q_simhash_pairs,
+        # -- implementation changed in round 4 (re-sign)
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "push_online": q_push_online,
+        "odfv_transform": q_odfv_transform,
+        "lang_id": q_lang_id,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_buckets": q_simhash_buckets,
+        "cosine_topk": q_cosine_topk,
+        # -- r02-signed refreshes (fill to 50)
+        "running_sum": q_running_sum,
+        "topk_per_group": q_topk_per_group,
+        "grouping_sets": q_grouping_sets,
+        "cube_lang_source": q_cube_lang_source,
+        "order_ship_priority": q_order_ship_priority,
+        "quantiles_per_lang": q_quantiles_per_lang,
+        "range_join_events": q_range_join_events,
+        "session_window_native": q_session_window_native,
+        "distinct_per_type": q_distinct_per_type,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "except_all": q_except_all,
+        "intersect_all": q_intersect_all,
+        "cross_join_totals": q_cross_join_totals,
+        "drop_duplicates": q_drop_duplicates,
+        "rollup_orders": q_rollup_orders,
+        "ntile_quartiles": q_ntile_quartiles,
+        "collect_last_k": q_collect_last_k,
+        "map_json_ops": q_map_json_ops,
+        "url_host_path": q_url_host_path,
+        "daily_order_stats": q_daily_order_stats,
+        # ---- fold: entries below were driver-signed green in r02/r03
+        # ---- and stay covered by the harness replica pytest
         # PIT family (north rule core)
         "pit_asof_union": q_pit_asof_union,
         "pit_asof_broadcast": q_pit_asof_broadcast,
@@ -2003,7 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "latest_per_key": q_latest_per_key,
         "backfill_fill": q_backfill_fill,
-        # Iceberg-style layout + serving (round-2 additions)
+        # Iceberg-style layout + serving
         "layout_prune_scan": q_layout_prune_scan,
         "layout_time_travel": q_layout_time_travel,
         "layout_compact_roundtrip": q_layout_compact_roundtrip,
@@ -2016,10 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_composite": q_materialize_composite,
         "online_lookup_composite": q_online_lookup_composite,
         "feature_service_retrieval": q_feature_service_retrieval,
-        "push_online": q_push_online,
         "field_mapping_rename": q_field_mapping_rename,
         "kafka_decode": q_kafka_decode,
-        "odfv_transform": q_odfv_transform,
         # aggregates / relational
         "pricing_summary": q_pricing_summary,
         "star_join_revenue": q_star_join_revenue,
@@ -2027,9 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_group_agg": q_salted_group_agg,
         "salted_group_stats": q_salted_group_stats,
         "validate_events": q_validate_events,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        # LLM-pipeline text ops (round-2 additions)
+        # LLM-pipeline text ops
         "text_stats": q_text_stats,
         "quality_score": q_quality_score,
         "gopher_quality": q_gopher_quality,
@@ -2043,61 +2100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint_clusters": q_fingerprint_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        "near_dup_clusters": q_near_dup_clusters,
-        "cosine_topk": q_cosine_topk,
-        "near_dup_clusters_star": q_near_dup_clusters_star,
-        # ---- fold: entries below are typically outside the driver's
-        # ---- sample and stay covered by the harness replica pytest
-        "running_sum": q_running_sum,
-        "topk_per_group": q_topk_per_group,
-        "grouping_sets": q_grouping_sets,
-        "pack_sequences": q_pack_sequences,
-        "hll_daily_rollup": q_hll_daily_rollup,
-        "cube_lang_source": q_cube_lang_source,
-        "order_ship_priority": q_order_ship_priority,
-        "quantiles_per_lang": q_quantiles_per_lang,
-        "range_join_events": q_range_join_events,
-        "embedding_near_dup": q_embedding_near_dup,
-        "znorm_per_user": q_znorm_per_user,
-        "grouped_quantile_udf": q_grouped_quantile_udf,
-        "arrow_byte_stats": q_arrow_byte_stats,
-        "session_window_native": q_session_window_native,
-        "distinct_per_type": q_distinct_per_type,
-        "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
-        "except_all": q_except_all,
-        "intersect_all": q_intersect_all,
-        "cross_join_totals": q_cross_join_totals,
-        "drop_duplicates": q_drop_duplicates,
-        "rollup_orders": q_rollup_orders,
-        "ntile_quartiles": q_ntile_quartiles,
-        "collect_last_k": q_collect_last_k,
-        "map_json_ops": q_map_json_ops,
-        "url_host_path": q_url_host_path,
-        "daily_order_stats": q_daily_order_stats,
+        # long tail
         "tumbling_day_counts": q_tumbling_day_counts,
         "json_extract": q_json_extract,
         "array_ops": q_array_ops,
         "supplier_part_volume": q_supplier_part_volume,
         "pit_created_tiebreak_broadcast": q_pit_created_tiebreak_broadcast,
         "pit_created_tiebreak_cogroup": q_pit_created_tiebreak_cogroup,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_buckets": q_simhash_buckets,
-        "simhash_pairs": q_simhash_pairs,
         "approx_distinct": q_approx_distinct,
-        "lang_id": q_lang_id,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
-        "multimodal_resize": q_multimodal_resize,
-        "frame_sample": q_frame_sample,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "stream_tumbling_day": q_stream_tumbling_day,
-        "stream_sessions": q_stream_sessions,
-        "stream_online_upsert": q_stream_online_upsert,
-        "stream_static_enrich": q_stream_static_enrich,
-        "stream_dedupe": q_stream_dedupe,
-        "stream_changed_rows": q_stream_changed_rows,
-        "stream_stream_join": q_stream_stream_join,
     }
 
 
