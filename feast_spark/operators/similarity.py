@@ -9,9 +9,13 @@ within matching buckets — the bucket join is the one shuffle.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -134,6 +138,51 @@ def make_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def choose_lsh_params(
+    corpus_count: int,
+    *,
+    threshold: float = 0.99,
+    target_occupancy: int = 1024,
+    target_recall: float = 0.95,
+    min_bits: int = 4,
+    max_bits: int = 24,
+    max_tables: int = 32,
+) -> tuple[int, int]:
+    """Size (n_bits, n_tables) for random-hyperplane LSH from a corpus
+    count (VERDICT r03 next #2 — the fixed n_bits=6 default is 64 buckets
+    per table, per-bucket-quadratic at web scale).
+
+    n_bits targets expected uniform occupancy ``corpus_count / 2^bits ≈
+    target_occupancy``; wider keys cut single-table recall (a pair at
+    angle θ collides with prob p^bits, p = 1 − θ/π), so n_tables is
+    raised to keep OR-amplified recall 1 − (1 − p^bits)^tables ≥
+    ``target_recall``."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    n_bits = max(
+        min_bits,
+        min(
+            max_bits,
+            math.ceil(math.log2(max(corpus_count, 2) / target_occupancy)),
+        ),
+    )
+    hit = p ** n_bits
+    if hit >= 1.0 or target_recall <= hit:
+        n_tables = 1
+    else:
+        n_tables = max(
+            1,
+            min(
+                max_tables,
+                math.ceil(
+                    math.log(1.0 - target_recall) / math.log(1.0 - hit)
+                ),
+            ),
+        )
+    return n_bits, n_tables
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -141,7 +190,10 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     dim: int | None = None,
-    n_bits: int = 6,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
+    corpus_count: int | None = None,
+    target_occupancy: int = 1024,
     exact: bool = False,
     seed: int = 42,
 ) -> DataFrame:
@@ -154,7 +206,15 @@ def embedding_near_dup_pairs(
     ~0.99) land in the same sign-bucket with high probability, so the
     candidate set is per-bucket quadratic instead of corpus-quadratic;
     exact cosine then verifies. At 10^12 docs this is the only viable
-    shape (bucket join + AQE skew split)."""
+    shape (bucket join + AQE skew split).
+
+    Bucket cardinality scales with the corpus (VERDICT r03 next #2):
+    pass ``corpus_count`` (a manifest/metadata stat — never counted
+    here) and (n_bits, n_tables) come from ``choose_lsh_params`` —
+    wide-enough keys for ~``target_occupancy`` rows per bucket, with
+    OR-amplification tables restoring the recall wider keys cost.
+    Explicit ``n_bits``/``n_tables`` pin either knob; the no-hint
+    default stays the small-N (6 bits, 1 table) configuration."""
     a_cols = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
@@ -166,10 +226,41 @@ def embedding_near_dup_pairs(
     else:
         if dim is None:
             raise ValueError("dim required for LSH path")
-        planes = make_planes(dim, n_bits, seed)
-        a_sig = a_cols.withColumn("__sig", hyperplane_signature(F.col("__va"), planes))
-        b_sig = b_cols.withColumn("__sig", hyperplane_signature(F.col("__vb"), planes))
-        cand = a_sig.join(b_sig, "__sig").filter(F.col("id_a") < F.col("id_b"))
+        if corpus_count is not None:
+            auto_bits, auto_tables = choose_lsh_params(
+                corpus_count,
+                threshold=threshold,
+                target_occupancy=target_occupancy,
+            )
+            n_bits = auto_bits if n_bits is None else n_bits
+            n_tables = auto_tables if n_tables is None else n_tables
+            _LOG.info(
+                "embedding LSH: %d bits x %d tables, expected uniform "
+                "occupancy %.1f (corpus_count=%d)",
+                n_bits,
+                n_tables,
+                corpus_count / 2.0 ** n_bits,
+                corpus_count,
+            )
+        n_bits = 6 if n_bits is None else n_bits
+        n_tables = 1 if n_tables is None else n_tables
+        a_sig = a_cols.withColumn(
+            "__ts",
+            F.explode(
+                _table_signatures(F.col("__va"), dim, n_bits, n_tables, seed)
+            ),
+        )
+        b_sig = b_cols.withColumn(
+            "__ts",
+            F.explode(
+                _table_signatures(F.col("__vb"), dim, n_bits, n_tables, seed)
+            ),
+        )
+        cand = (
+            a_sig.join(b_sig, "__ts")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         cand.withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cosine") >= threshold)
