@@ -34,6 +34,13 @@ import os
 import shutil
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its HEAD flip (optimistic-concurrency loss). Append paths retry with
+    revalidation; rewrite paths (compact/upsert/zorder) surface it — the
+    caller re-runs against the new table state."""
+
+
 class FileIO:
     """Local-POSIX implementation; the base class IS the interface."""
 
@@ -46,6 +53,48 @@ class FileIO:
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, path)
+
+    def read_text(self, path: str) -> str | None:
+        """Current content, or None if absent."""
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def write_conditional(
+        self, path: str, text: str, expected: str | None
+    ) -> bool:
+        """Compare-and-swap publish (VERDICT r03 next #3): write ``text``
+        at ``path`` ONLY if the current content equals ``expected``
+        (``None`` = the path must not exist yet). Returns False on
+        mismatch — the multi-writer commit seam.
+
+        Locally: an ``flock`` on ONE per-directory ``_commit.lock``
+        serializes the read-compare-publish critical section (kernel-
+        released on process death, so no stale-lock recovery needed;
+        per-directory = per-table, the serialization a commit wants
+        anyway); the publish itself still goes through ``write_atomic``
+        so crash-injection subclasses intercept it. On S3-class stores
+        this is a conditional PUT (If-Match / If-None-Match) or a
+        catalog CAS (DynamoDB, Nessie, a REST catalog) — exactly
+        Iceberg's commit primitive."""
+        import fcntl
+
+        self.makedirs(os.path.dirname(path))
+        fd = os.open(
+            os.path.join(os.path.dirname(path), "_commit.lock"),
+            os.O_CREAT | os.O_RDWR,
+            0o644,
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            if self.read_text(path) != expected:
+                return False
+            self.write_atomic(path, text)
+            return True
+        finally:
+            os.close(fd)  # releases the flock
 
     # -- data-file placement -----------------------------------------
     def move(self, src: str, dst: str) -> None:

@@ -40,7 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feast_spark.sources.fileio import get_io
+from feast_spark.sources.fileio import CommitConflict, get_io
 
 DATA_DIR = "data"
 META_DIR = "metadata"
@@ -108,35 +108,7 @@ def write_table(
             f"table at {root} has data but no committed HEAD "
             "(interrupted overwrite?); re-run the overwrite to heal"
         )
-    if prev and prev.get("n_buckets") != n_buckets:
-        raise ValueError(
-            f"append changes n_buckets ({prev.get('n_buckets')} -> "
-            f"{n_buckets}); the bucket modulus is fixed at table creation "
-            "(old files would hash under a different transform)"
-        )
-    # diff against every file ANY snapshot knows (compaction leaves old
-    # files on disk for time travel — they must not re-register)
-    prev_files: set[str] = set()
-    if prev:
-        meta = os.path.join(root, META_DIR)
-        for name in os.listdir(meta):
-            if name.startswith("snap-") and name.endswith(".json"):
-                with open(os.path.join(meta, name)) as f:
-                    prev_files.update(s["path"] for s in json.load(f)["files"])
-
-    spec_history = list(prev.get("spec_history", [])) if prev else []
-    if prev and prev.get("dt_granularity", "day") != dt_granularity:
-        # Iceberg partition-spec evolution: readers prune by per-file ts
-        # STATS, never by directory names, so old files keep their old
-        # dt dirs and new files use the new transform — no rewrite.
-        if not allow_spec_evolution:
-            raise ValueError(
-                "append changes dt_granularity "
-                f"({prev.get('dt_granularity', 'day')!r} -> "
-                f"{dt_granularity!r}); pass allow_spec_evolution=True "
-                "for Iceberg-style partition-spec evolution"
-            )
-        spec_history.append(prev.get("dt_granularity", "day"))
+    _validate_against_parent(prev, n_buckets, dt_granularity, allow_spec_evolution)
     data_path = os.path.join(root, DATA_DIR)
     staged = (
         df.withColumn("dt", dt_expr(ts_col, dt_granularity))
@@ -167,13 +139,46 @@ def write_table(
                 if name.startswith("snap-") and name.endswith(".json"):
                     io.remove(os.path.join(meta, name))
             io.rmtree(os.path.join(meta, LINEAGE_DIR))
+    elif mode == "overwrite":
+        staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(
+            data_path
+        )
     else:
-        staged.write.partitionBy("dt", "bucket").mode(
-            "overwrite" if mode == "overwrite" else "append"
-        ).parquet(data_path)
+        # Append is multi-writer safe (VERDICT r03 next #3): each writer
+        # stages under a unique token and MOVES its files to unique
+        # ``append-<token>-*`` names, so it registers exactly the files
+        # it wrote — never a directory-listing diff, which would sweep a
+        # concurrent writer's in-flight files into this snapshot. The
+        # names are skipped by ``_list_data_files`` (like compact-*/
+        # upsert-*): a crash between move and commit leaves inert
+        # orphans for remove_orphan_files.
+        import uuid
 
-    all_files = _list_data_files(root)
-    new_files = [p for p in all_files if p not in prev_files]
+        io = get_io()
+        token = uuid.uuid4().hex[:12]
+        stage = os.path.join(root, "_staging", f"append-{token}")
+        io.rmtree(stage)
+        staged.write.partitionBy("dt", "bucket").mode("overwrite").parquet(
+            stage
+        )
+        new_files = []
+        seq = 0
+        for dirpath, dirs, files in os.walk(stage):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                rel_dir = os.path.relpath(dirpath, stage)
+                dst_rel = os.path.join(
+                    DATA_DIR, rel_dir, f"append-{token}-{seq:04d}.parquet"
+                )
+                io.move(os.path.join(dirpath, f), os.path.join(root, dst_rel))
+                new_files.append(dst_rel)
+                seq += 1
+        io.rmtree(stage)
+
+    if mode == "overwrite":
+        new_files = _list_data_files(root)
     if distributed_stats:
         # the 100 TB path: footer reads fan out across executors
         stats = collect_stats_distributed(
@@ -181,54 +186,105 @@ def write_table(
         )
     else:
         stats = _collect_stats_local(root, new_files, key_col, ts_col)
-    if prev:
-        stats = prev["files"] + stats
 
-    # schema evolution (append): union of previous and incoming fields —
-    # Iceberg's add-column; readers null-fill the column in files written
-    # before it existed (spark.read.schema() semantics). Type changes on
-    # an existing column are rejected (no implicit promotion).
-    schema_json = df.schema.json()
-    if prev:
-        prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
-        merged = list(prev_schema.fields)
-        have = {f.name: f for f in merged}
-        for f in df.schema.fields:
-            if f.name not in have:
-                merged.append(f)
-            elif have[f.name].dataType != f.dataType:
-                raise ValueError(
-                    f"append changes type of {f.name!r}: "
-                    f"{have[f.name].dataType.simpleString()} -> "
-                    f"{f.dataType.simpleString()}"
-                )
-        schema_json = T.StructType(merged).json()
+    # Optimistic-concurrency commit loop: build parent-dependent
+    # metadata, CAS-commit, and on conflict re-read the new HEAD,
+    # re-validate, and retry. This writer's data files and their stats
+    # are conflict-free by construction (unique names, own stats); only
+    # the metadata merge re-runs.
+    for attempt in range(5):
+        spec_history = list(prev.get("spec_history", [])) if prev else []
+        if prev and prev.get("dt_granularity", "day") != dt_granularity:
+            spec_history.append(prev.get("dt_granularity", "day"))
 
-    snap_id = next_snapshot_id(root, prev)
-    snapshot = {
-        "snapshot_id": snap_id,
-        "parent": prev["snapshot_id"] if prev else None,
-        "committed_at": time.time(),
-        "operation": mode,
-        "key_col": key_col,
-        "ts_col": ts_col,
-        "n_buckets": n_buckets,
-        "dt_granularity": dt_granularity,
-        "spec_history": spec_history,
-        "schema": schema_json,
-        "files": stats,
-    }
-    _commit_snapshot(root, snapshot)
-    return snap_id
+        # schema evolution (append): union of previous and incoming
+        # fields — Iceberg's add-column; readers null-fill the column in
+        # files written before it existed (spark.read.schema()
+        # semantics). Type changes on an existing column are rejected
+        # (no implicit promotion).
+        schema_json = df.schema.json()
+        if prev:
+            prev_schema = T.StructType.fromJson(json.loads(prev["schema"]))
+            merged = list(prev_schema.fields)
+            have = {f.name: f for f in merged}
+            for f in df.schema.fields:
+                if f.name not in have:
+                    merged.append(f)
+                elif have[f.name].dataType != f.dataType:
+                    raise ValueError(
+                        f"append changes type of {f.name!r}: "
+                        f"{have[f.name].dataType.simpleString()} -> "
+                        f"{f.dataType.simpleString()}"
+                    )
+            schema_json = T.StructType(merged).json()
+
+        snap_id = next_snapshot_id(root, prev)
+        snapshot = {
+            "snapshot_id": snap_id,
+            "parent": prev["snapshot_id"] if prev else None,
+            "committed_at": time.time(),
+            "operation": mode,
+            "key_col": key_col,
+            "ts_col": ts_col,
+            "n_buckets": n_buckets,
+            "dt_granularity": dt_granularity,
+            "spec_history": spec_history,
+            "schema": schema_json,
+            "files": (prev["files"] if prev else []) + stats,
+        }
+        try:
+            _commit_snapshot(root, snapshot)
+            return snap_id
+        except CommitConflict:
+            if mode == "overwrite":
+                # an overwrite raced another writer across the dir swap —
+                # not retryable (the tree was replaced); surface it
+                raise
+            prev = current_snapshot(root)
+            if prev is None:
+                raise  # concurrent overwrite dropped HEAD mid-append
+            _validate_against_parent(
+                prev, n_buckets, dt_granularity, allow_spec_evolution
+            )
+    raise CommitConflict(
+        f"append to {root} lost {5} consecutive commit races; giving up"
+    )
+
+
+def _validate_against_parent(
+    prev: dict | None,
+    n_buckets: int,
+    dt_granularity: str,
+    allow_spec_evolution: bool,
+) -> None:
+    """Append-compatibility checks against the (possibly re-read) parent
+    snapshot — run before the write AND after every lost commit race."""
+    if prev and prev.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"append changes n_buckets ({prev.get('n_buckets')} -> "
+            f"{n_buckets}); the bucket modulus is fixed at table creation "
+            "(old files would hash under a different transform)"
+        )
+    if prev and prev.get("dt_granularity", "day") != dt_granularity:
+        # Iceberg partition-spec evolution: readers prune by per-file ts
+        # STATS, never by directory names, so old files keep their old
+        # dt dirs and new files use the new transform — no rewrite.
+        if not allow_spec_evolution:
+            raise ValueError(
+                "append changes dt_granularity "
+                f"({prev.get('dt_granularity', 'day')!r} -> "
+                f"{dt_granularity!r}); pass allow_spec_evolution=True "
+                "for Iceberg-style partition-spec evolution"
+            )
 
 
 def _list_data_files(root: str) -> list[str]:
     """Relative paths of all parquet data files under root/data.
     Skips hidden/temporary entries (Spark ``_temporary``, ``.crc``) and
-    ``compact-*`` / ``upsert-*`` files — compaction and upsert outputs
+    ``compact-*`` / ``upsert-*`` / ``append-*`` files — those outputs
     are only ever referenced via the snapshot that committed them, so a
     crash between their write and commit leaves orphans that must NOT be
-    swept into a later append's snapshot (they would duplicate rows)."""
+    swept into a later overwrite's snapshot (they would duplicate rows)."""
     data_path = os.path.join(root, DATA_DIR)
     out = []
     for dirpath, dirs, files in os.walk(data_path):
@@ -236,7 +292,7 @@ def _list_data_files(root: str) -> list[str]:
         for f in files:
             if (
                 f.endswith(".parquet")
-                and not f.startswith((".", "_", "compact-", "upsert-"))
+                and not f.startswith((".", "_", "compact-", "upsert-", "append-"))
             ):
                 out.append(os.path.relpath(os.path.join(dirpath, f), root))
     return sorted(out)
@@ -392,15 +448,42 @@ def next_snapshot_id(root: str, prev: dict | None) -> int:
 
 
 def _commit_snapshot(root: str, snapshot: dict) -> None:
-    """Atomic single-writer commit: write snap file, then flip HEAD (the
-    crash-consistent subset of Iceberg's commit). Both publications go
-    through the FileIO seam — the HEAD flip is the ONE operation an
-    object-store deployment must make conditional (fileio.py docstring)."""
+    """Optimistic multi-writer commit (VERDICT r03 next #3), Iceberg's
+    two-step reduced to the FileIO CAS primitive:
+
+    1. CLAIM the snapshot id: create ``snap-NNNNNN.json`` only if absent
+       (If-None-Match). A concurrent writer that computed the same id
+       loses here — before anything is visible — instead of silently
+       overwriting the winner's manifest.
+    2. FLIP HEAD conditionally: expected content is the PARENT's snap
+       name (None for a fresh/overwritten table — overwrite removes HEAD
+       first). A mismatch means someone committed since this writer read
+       its parent; the claimed snap file is removed (it was never
+       referenced) and CommitConflict tells the caller to revalidate.
+
+    Both failure modes raise CommitConflict; append retries with
+    revalidation inside write_table, rewrite ops (compact/upsert/zorder)
+    surface it to the caller for a re-run against the new state."""
     io = get_io()
     meta = os.path.join(root, META_DIR)
     snap_name = f"snap-{snapshot['snapshot_id']:06d}.json"
-    io.write_atomic(os.path.join(meta, snap_name), json.dumps(snapshot))
-    io.write_atomic(os.path.join(meta, "HEAD"), snap_name)
+    if not io.write_conditional(
+        os.path.join(meta, snap_name), json.dumps(snapshot), None
+    ):
+        raise CommitConflict(
+            f"snapshot id {snapshot['snapshot_id']} at {root} already "
+            "claimed by a concurrent writer"
+        )
+    parent = snapshot.get("parent")
+    expected = f"snap-{parent:06d}.json" if parent is not None else None
+    if not io.write_conditional(
+        os.path.join(meta, "HEAD"), snap_name, expected
+    ):
+        io.remove(os.path.join(meta, snap_name))  # never became visible
+        raise CommitConflict(
+            f"concurrent commit at {root}: HEAD moved past parent "
+            f"{parent!r}; revalidate against the current snapshot"
+        )
 
 
 def _zorder_indices(tbl, cols: list[str]):
@@ -574,7 +657,14 @@ def rollback(root: str, snapshot_id: int) -> dict:
             f"no snapshot {snapshot_id} at {root} (expired or never existed)"
         )
     prev = current_snapshot(root)
-    get_io().write_atomic(os.path.join(meta, "HEAD"), snap_name)
+    expected = f"snap-{prev['snapshot_id']:06d}.json" if prev else None
+    if not get_io().write_conditional(
+        os.path.join(meta, "HEAD"), snap_name, expected
+    ):
+        raise CommitConflict(
+            f"concurrent commit at {root} during rollback; re-read "
+            "history and retry"
+        )
     return {
         "rolled_back_from": prev["snapshot_id"] if prev else None,
         "current": snapshot_id,
