@@ -41,6 +41,7 @@ def stratified_sample(
     seed: int = 42,
     strategy: str = "window",
     oversample: float = 4.0,
+    guard: str = "eager",
 ) -> DataFrame:
     """Up to ``k`` rows per ``group_col`` stratum, chosen as the k
     smallest ``md5(id|seed)`` values — a uniform-without-replacement
@@ -54,7 +55,16 @@ def stratified_sample(
     stratum, which is what makes a 10^9-row stratum tractable. Both
     strategies return the SAME rows; if the prefilter ever catches fewer
     than min(k, n) survivors for a stratum (hash-tail bad luck at tiny
-    oversample), it raises rather than silently under-sampling."""
+    oversample), it raises rather than silently under-sampling.
+
+    ``guard`` (threshold strategy only) controls HOW the guarantee is
+    checked: ``"eager"`` runs a bounded extra action at call time and
+    raises immediately — simple, but re-executes the (prefiltered)
+    survivor plan. ``"observe"`` folds the check into CollectMetrics
+    nodes riding the caller's OWN first action (the CC pattern,
+    VERDICT r03 next #5: zero extra jobs) — call
+    :func:`check_sample_guard` on the returned DataFrame after that
+    action to raise on shortfall."""
     h = _hash_key(id_col, seed).alias("__h")
     if strategy == "window":
         w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
@@ -99,6 +109,38 @@ def stratified_sample(
         | (F.substring("__h", 1, 8) < cut)
     )
     w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    if guard == "observe":
+        # zero-extra-job guard: expected output size Σ_strata min(k, n)
+        # is accumulated on the main data path pre-filter (each joined
+        # row contributes min(k, __n)/__n — exactly min(k, n) per
+        # stratum after summing its n rows), the actual output size on
+        # the returned node. Both metrics ride the caller's first
+        # action; check_sample_guard() compares them. A vanished
+        # stratum (all rows hashed above the cut) still contributes to
+        # `expected` because the observation sits BEFORE the prefilter.
+        from pyspark.sql import Observation
+
+        obs_in, obs_out = Observation(), Observation()
+        joined_obs = joined.observe(
+            obs_in,
+            F.sum(
+                F.least(F.lit(float(k)), F.col("__n").cast("double"))
+                / F.col("__n")
+            ).alias("expected"),
+        )
+        survivors_obs = joined_obs.filter(
+            (frac >= F.lit(1.0)) | (F.substring("__h", 1, 8) < cut)
+        )
+        out = (
+            survivors_obs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__h", "__rn", "__n")
+            .observe(obs_out, F.count(F.lit(1)).alias("actual"))
+        )
+        out._feast_sample_guard = (obs_in, obs_out, oversample)
+        return out
+    if guard != "eager":
+        raise ValueError(f"unknown guard {guard!r}")
     ranked = survivors.withColumn("__rn", F.row_number().over(w))
     # guarantee check: each stratum must keep min(k, n) survivors. The
     # check is anchored on `counts` (every stratum in the INPUT), not on
@@ -128,6 +170,32 @@ def stratified_sample(
             "oversample"
         )
     return ranked.filter(F.col("__rn") <= k).drop("__h", "__rn", "__n")
+
+
+def check_sample_guard(df: DataFrame) -> int:
+    """Raise if a ``stratified_sample(..., guard="observe")`` result
+    under-sampled any stratum. Call AFTER the first action on ``df``
+    (write/collect/count — the observations ride that action; this call
+    blocks until they materialize but runs no job of its own). Returns
+    the sampled row count on success."""
+    try:
+        obs_in, obs_out, oversample = df._feast_sample_guard
+    except AttributeError:
+        raise ValueError(
+            "DataFrame carries no sample guard — produced by "
+            'stratified_sample(strategy="threshold", guard="observe")?'
+        ) from None
+    expected = obs_in.get["expected"] or 0.0
+    actual = obs_out.get["actual"]
+    # `expected` sums n per-row doubles per stratum; 0.5 absorbs the
+    # float accumulation error (≪ 1 row for any real k/n)
+    if actual + 0.5 < expected:
+        raise RuntimeError(
+            f"stratified sample kept {actual} rows but the input's "
+            f"strata required ~{round(expected)} at oversample="
+            f"{oversample}; retry with a larger oversample"
+        )
+    return actual
 
 
 def pack_sequences(

@@ -302,6 +302,7 @@ def lsh_topk(
     seed: int = 42,
     broadcast_queries: bool | None = None,
     broadcast_threshold: int = 100_000,
+    allow_count: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates are corpus rows sharing the query's
     bucket in ANY of ``n_tables`` independent hyperplane families
@@ -315,14 +316,23 @@ def lsh_topk(
     point/interactive lookups, but batch ANN with millions of queries
     would OOM a broadcast (VERDICT r02 next #8) — above
     ``broadcast_threshold`` queries the join runs as a plain shuffle on
-    the signature key instead (``broadcast_queries=None`` auto-decides
-    with one cheap count; pass True/False to pin). Results are identical
-    either way. Candidates dedup on (query, id) BEFORE the cosine is
-    computed, so multi-table collisions don't double-score."""
+    the signature key instead. ``broadcast_queries=None`` auto-decides
+    from a ZERO-JOB estimate (parquet footers / Catalyst stats,
+    feast_spark.estimate — VERDICT r03 next #5: the old auto mode ran a
+    ``queries.count()`` job per call); an unestimable query side takes
+    the shuffle join, safe at unbounded cardinality, unless
+    ``allow_count=True`` opts back into the counting fallback. Results
+    are identical either way. Candidates dedup on (query, id) BEFORE the
+    cosine is computed, so multi-table collisions don't double-score."""
     from pyspark.sql import Window
 
     if broadcast_queries is None:
-        broadcast_queries = queries.count() <= broadcast_threshold
+        from feast_spark.estimate import estimate_rows
+
+        n = estimate_rows(queries)
+        if n is None and allow_count:
+            n = queries.count()
+        broadcast_queries = n is not None and n <= broadcast_threshold
 
     c = corpus.select(
         F.col(id_col),

@@ -162,6 +162,61 @@ def stream_latest_to_online(
     return writer.trigger(availableNow=True).start()
 
 
+def stream_enrich_pit(
+    probe_stream: DataFrame,
+    store,
+    features: list[str],
+    dest: str,
+    *,
+    ts_col: str = "ts",
+    dedupe_keys: tuple[str, ...] | None = None,
+    watermark: str = "1 hour",
+    checkpoint: str | None = None,
+    strategy: str | None = "broadcast",
+    full_feature_names: bool = False,
+):
+    """Stream-batch PIT enrichment (VERDICT r03 next #4): as-of join a
+    stream of entity probes against the offline feature views — the
+    streaming twin of ``get_historical_features``, the shape upstream's
+    stream processor uses to enrich events against the offline store.
+
+    Each micro-batch runs the SAME retrieval planner as batch
+    (``plans.retrieval.plan_retrieval`` inside ``foreachBatch``), so
+    manifest pruning, TTL semantics and tie-breaks are one code path;
+    results append to a parquet ``dest``. Probes watermark on ``ts_col``
+    and, when ``dedupe_keys`` is given, duplicate probes within the
+    watermark are dropped BEFORE enrichment — the only stateful piece,
+    and its state is watermark-bounded (T1).
+
+    ``strategy`` defaults to ``broadcast``: a micro-batch is bounded by
+    the trigger (maxFilesPerTrigger / Kafka batch size), exactly the
+    small-probe regime; pass None to let the planner's zero-job
+    estimator decide (an in-memory micro-batch is unestimable, so auto
+    routes to the unbounded-safe strategy). Returns the started
+    StreamingQuery (caller awaits)."""
+    from feast_spark.plans.retrieval import plan_retrieval
+
+    s = with_watermark(probe_stream, ts_col, watermark)
+    if dedupe_keys:
+        s = s.dropDuplicatesWithinWatermark(list(dedupe_keys))
+    if ts_col != "ts":
+        s = s.withColumnRenamed(ts_col, "ts")
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = plan_retrieval(
+            store, batch_df, features,
+            full_feature_names=full_feature_names, strategy=strategy,
+        )
+        out.write.mode("append").parquet(dest)
+
+    writer = s.writeStream.foreachBatch(enrich).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
 def stateful_crawl_stats(
     df: DataFrame,
     *,

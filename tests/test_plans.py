@@ -146,9 +146,12 @@ def test_hot_key_routes_to_sliced(spark, tmp_path_factory):
         "ts", F.lit("2024-01-15 00:00:00").cast("timestamp")
     )
     decisions: list = []
+    # probe_count_hint: probes here are Arrow-local (no plan-derivable
+    # cardinality), and the unhinted planner deliberately runs no
+    # counting job (VERDICT r03 next #5) — hint like a real caller would
     got = plan_retrieval(
         store, probes, ["hotv:n_chars"],
-        hot_key_min_rows=100,
+        hot_key_min_rows=100, probe_count_hint=3,
         decisions=decisions,
     )
     assert decisions[0]["strategy"] == "sliced"
@@ -159,9 +162,18 @@ def test_hot_key_routes_to_sliced(spark, tmp_path_factory):
     cold_dec: list = []
     plan_retrieval(
         store, probes, ["hotv:n_chars"],
-        hot_key_min_rows=10_000, decisions=cold_dec,
+        hot_key_min_rows=10_000, probe_count_hint=3, decisions=cold_dec,
     )
     assert cold_dec[0]["strategy"] == "broadcast" and not cold_dec[0]["hot_keys"]
+    # unhinted + unestimable probes: the planner must still produce the
+    # SAME rows via the unbounded-safe strategy, with zero extra jobs
+    safe_dec: list = []
+    safe = plan_retrieval(
+        store, probes, ["hotv:n_chars"],
+        hot_key_min_rows=10_000, decisions=safe_dec,
+    )
+    assert safe_dec[0]["strategy"] in ("cogroup", "union")
+    assert safe.exceptAll(want).count() == 0 and want.exceptAll(safe).count() == 0
 
 
 def test_cogroup_bucket_count_grows_with_data(spark, pages_df, tmp_path_factory):
