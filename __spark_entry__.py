@@ -2191,6 +2191,45 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _lang_id_oracle() -> str:
+    """DuckDB twin of operators.text.lang_id, GENERATED from the same
+    lang_table() — one source of truth, no drift between the 22-language
+    weighted marker table and its oracle. Weights are dyadic rationals
+    (2^-k), so both engines' per-language token-order float folds are
+    exact and the argmax tie-compare is bit-identical."""
+    from feast_spark.operators.text import lang_table
+
+    langs, vocab, weights = lang_table()
+    scores = []
+    for j in range(len(langs)):
+        cases = " ".join(
+            f"WHEN '{vocab[i]}' THEN {weights[i][j]!r}"
+            for i in range(len(vocab))
+            if weights[i][j] > 0
+        )
+        scores.append(
+            "coalesce(list_sum(list_transform(tk, t -> CASE t "
+            + cases
+            + " ELSE 0.0 END)), 0.0)"
+        )
+    lang_list = "[" + ", ".join(f"'{l}'" for l in langs) + "]"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(text), '[^\\p{{L}}]+') AS tk
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, list_value({", ".join(scores)}) AS sc FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN list_max(sc) > 0
+                    THEN ({lang_list})[list_position(sc, list_max(sc))]
+                    ELSE 'zz' END AS lang_pred
+        FROM s
+    """
+
+
 def _oracles() -> dict[str, str]:
     pit = _PIT_ORACLE
     return {
@@ -2428,41 +2467,7 @@ def _oracles() -> dict[str, str]:
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events
         """,
-        "lang_id": """
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split_regex(lower(text),
-                       '[^a-zäöüéèàç]+') AS tk
-              FROM documents
-            ),
-            h AS (
-              SELECT doc_id,
-                len(list_filter(tk, t -> list_contains(
-                  ['the','and','of','to','is','that','with'], t))) AS h_en,
-                len(list_filter(tk, t -> list_contains(
-                  ['der','die','und','das','ist','nicht','ein'], t))) AS h_de,
-                len(list_filter(tk, t -> list_contains(
-                  ['le','la','les','et','est','une','dans'], t))) AS h_fr,
-                len(list_filter(tk, t -> list_contains(
-                  ['el','la','los','que','es','una','por'], t))) AS h_es
-              FROM toks
-            ),
-            s1 AS (SELECT doc_id, h_de, h_fr, h_es,
-                          CASE WHEN h_en > 0 THEN 'en' ELSE 'zz' END AS b,
-                          CASE WHEN h_en > 0 THEN h_en ELSE 0 END AS n
-                   FROM h),
-            s2 AS (SELECT doc_id, h_fr, h_es,
-                          CASE WHEN h_de > n THEN 'de' ELSE b END AS b,
-                          CASE WHEN h_de > n THEN h_de ELSE n END AS n
-                   FROM s1),
-            s3 AS (SELECT doc_id, h_es,
-                          CASE WHEN h_fr > n THEN 'fr' ELSE b END AS b,
-                          CASE WHEN h_fr > n THEN h_fr ELSE n END AS n
-                   FROM s2)
-            SELECT doc_id,
-                   CASE WHEN h_es > n THEN 'es' ELSE b END AS lang_pred
-            FROM s3
-        """,
+        "lang_id": _lang_id_oracle(),
         "stream_stream_join": """
             SELECT v.user_id, v.event_id AS vid, v.ts AS vts,
                    p.event_id AS pid, p.ts AS pts

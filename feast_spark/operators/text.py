@@ -188,35 +188,105 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-# language-ID: tiny per-language stopword/ngram profiles; the score is the
-# hit-rate of each profile's marker words — a deterministic heuristic, not
-# a model (the real model would be a broadcast fastText-style table).
+# language-ID marker table (VERDICT r03 next #6: ≥20 languages with
+# per-token weights). Function-word profiles — deterministic public
+# knowledge, the honest stand-in for a learned fastText table (which
+# would ship the same way: a broadcast token→weights lookup). A token
+# shared by k languages carries weight 2^-(k-1) for EACH of them —
+# dyadic rationals, so per-document score sums are exact in both Spark
+# and the DuckDB oracle (bit-identical float folds, no tie drift).
 _LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "is", "that", "with"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
-    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
-    "es": ["el", "la", "los", "que", "es", "una", "por"],
+    # No Latin single-letter markers ('a', 'i', 'o', 'w', 'z'...): they
+    # are common ENGLISH tokens too and would hand their full weight to
+    # another language on every English document. Cyrillic/Greek/Arabic
+    # single-letter words are safe (disjoint codepoints). Tokens that
+    # are real words in several languages ('is', 'on', 'en', 'det'...)
+    # are listed under each and auto-down-weighted by the 2^-(k-1) rule.
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for", "was", "are", "on"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "los", "que", "es", "una", "por", "con", "para", "como", "pero"],
+    "pt": ["os", "em", "uma", "para", "com", "não", "mais", "como", "dos", "das"],
+    "it": ["il", "di", "che", "per", "con", "una", "sono", "della", "anche", "più"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "niet", "voor", "zijn", "met"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+    "da": ["og", "det", "at", "en", "til", "er", "af", "på", "med", "ikke"],
+    "no": ["og", "det", "som", "en", "på", "er", "av", "til", "ikke", "jeg"],
+    "fi": ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "niin", "kun"],
+    "pl": ["nie", "się", "jest", "że", "czy", "dla", "tym", "jak", "po", "na"],
+    "cs": ["se", "na", "je", "že", "ale", "jako", "aby", "jsou", "ke", "pro"],
+    "ro": ["și", "în", "la", "cu", "este", "pe", "care", "nu", "din", "sunt"],
+    "hu": ["az", "és", "hogy", "nem", "is", "egy", "van", "volt", "ez", "meg"],
+    "tr": ["ve", "bir", "bu", "için", "ne", "gibi", "çok", "ama", "daha", "var"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"],
+    "vi": ["của", "và", "các", "có", "được", "trong", "là", "cho", "không", "người"],
+    "ru": ["и", "в", "не", "на", "что", "он", "с", "как", "это", "по"],
+    "uk": ["і", "в", "не", "на", "що", "він", "з", "як", "це", "по"],
+    "el": ["και", "το", "να", "του", "η", "με", "την", "δεν", "ο", "που"],
+    "ar": ["في", "من", "على", "أن", "إلى", "هذا", "التي", "كان", "لا", "ما"],
 }
+
+# tokenizer shared by the Spark expression, the DuckDB oracle and the
+# recall tests: lowercase, split on any non-letter (\p{L} = Unicode
+# letter — works for Latin, Cyrillic, Greek and Arabic scripts alike)
+LANG_TOKEN_SPLIT = r"[^\p{L}]+"
+
+
+def lang_table() -> tuple[list[str], list[str], list[list[float]]]:
+    """(langs, vocab, weights): ``weights[i][j]`` = weight of vocab token
+    i for language j — 2^-(k-1) when k languages share the token, 0.0
+    otherwise. Single source of truth for :func:`lang_id`, the driver
+    oracle generator, and tests."""
+    langs = list(_LANG_MARKERS)
+    vocab = sorted({t for ms in _LANG_MARKERS.values() for t in ms})
+    shared = {
+        t: sum(t in ms for ms in _LANG_MARKERS.values()) for t in vocab
+    }
+    weights = [
+        [
+            (0.5 ** (shared[t] - 1)) if t in _LANG_MARKERS[lang] else 0.0
+            for lang in langs
+        ]
+        for t in vocab
+    ]
+    return langs, vocab, weights
 
 
 def lang_id(col: str | Column = "text") -> Column:
-    """Heuristic language ID: argmax over marker-word hit counts; ties and
-    zero-hit rows → 'zz' (unknown). Pure JVM expressions."""
+    """Weighted-marker language ID over 22 languages: per-token weights
+    fold into a per-language score vector; argmax wins (first language in
+    table order on exact ties), zero score → 'zz' (unknown).
+
+    Scale shape: the whole vocabulary rides the plan as TWO array
+    literals (the r02 de-literal'd-LSH lesson — one Catalyst node each,
+    not vocab×langs scalars), so scoring is a zero-shuffle JVM fold per
+    document: no explode, no join, no Python. A learned model upgrades
+    this by swapping the literals for bigger ones (or, past literal
+    limits, a broadcast token table + explode/join) without touching
+    callers."""
+    langs, vocab, weights = lang_table()
+    vocab_lit = F.lit(vocab)
+    weights_lit = F.lit(weights)
+    zeros = F.lit([0.0] * len(langs))
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.lower(c), r"[^a-zäöüéèàç]+")
-    scores = []
-    for lang, markers in _LANG_MARKERS.items():
-        hits = F.size(
-            F.filter(words, lambda t: F.array_contains(F.lit(markers), t))
-        )
-        scores.append((lang, hits))
-    best = F.lit("zz")
-    best_n = F.lit(0)
-    for lang, hits in scores:
-        take = hits > best_n
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_n = F.when(take, hits).otherwise(best_n)
-    return best
+    words = F.split(F.lower(c), LANG_TOKEN_SPLIT)
+
+    def lookup(t: Column) -> Column:
+        pos = F.array_position(vocab_lit, t)
+        return F.when(
+            pos > 0, F.element_at(weights_lit, pos.cast("int"))
+        ).otherwise(zeros)
+
+    scores = F.aggregate(
+        words, zeros, lambda acc, t: F.zip_with(acc, lookup(t), lambda a, b: a + b)
+    )
+    mx = F.array_max(scores)
+    return F.when(
+        mx > 0,
+        F.element_at(
+            F.lit(langs), F.array_position(scores, mx).cast("int")
+        ),
+    ).otherwise(F.lit("zz"))
 
 
 def doc_fingerprint(col: str | Column = "text") -> Column:
