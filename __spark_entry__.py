@@ -805,6 +805,27 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ann_index_topk(spark, sf_dir):
+    """Persisted-ANN serving (rows-only: hyperplane LSH has no portable
+    SQL twin): build the LSH signature index as a layout table, then
+    serve top-k from it — pinned equal to on-the-fly lsh_topk by
+    tests/test_dedupe.py (operators/similarity.py build_ann_index /
+    ann_index_topk, VERDICT r03 next #7)."""
+    import tempfile
+
+    from feast_spark.operators.similarity import ann_index_topk, build_ann_index
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_ann_"), "idx")
+    build_ann_index(e, root, dim=64, n_bits=4, n_tables=4, n_buckets=32)
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_index_topk(qs, root, k=5).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     from feast_spark.operators.dedupe import simhash_near_dup_pairs
 
@@ -2057,6 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         # -- never driver-signed: ANN / clustering / sketches / packing
         "lsh_ann_topk": q_lsh_ann_topk,
+        # NEW in round 4: served from the persisted LSH index (next #7)
+        "ann_index_topk": q_ann_index_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_star": q_near_dup_clusters_star,
@@ -2092,7 +2115,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": q_ntile_quartiles,
         "collect_last_k": q_collect_last_k,
         "map_json_ops": q_map_json_ops,
-        "url_host_path": q_url_host_path,
         # ---- fold: entries below were driver-signed green in r02/r03
         # ---- and stay covered by the harness replica pytest
         # PIT family (north rule core)
@@ -2148,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_clusters": q_fingerprint_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         # long tail
+        "url_host_path": q_url_host_path,
         "daily_order_stats": q_daily_order_stats,
         "tumbling_day_counts": q_tumbling_day_counts,
         "json_extract": q_json_extract,

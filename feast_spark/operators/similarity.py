@@ -287,6 +287,163 @@ def _table_signatures(
     return F.array(*sigs)
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    root: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    n_buckets: int = 64,
+    corpus_count: int | None = None,
+    target_occupancy: int = 1024,
+    build_ts: str = "2020-01-01",
+) -> int:
+    """Persist the LSH signature index as a layout table (VERDICT r03
+    next #7: build once, query many — the vector-online-store shape).
+
+    Each corpus row explodes into ``n_tables`` (table, signature) keys —
+    the OR-amplification storage trade, and the ONE corpus-proportional
+    shuffle — then lands in the standard layout bucketed on the packed
+    ``sig_key`` (``sig * n_tables + t``). Serving reads only the buckets
+    a query's ≤``n_tables`` keys hash to (manifest pruning), so a point
+    lookup touches ~``n_tables/n_buckets`` of the index instead of
+    scanning the corpus; index writes inherit the layout's snapshot /
+    commit machinery (time travel, CAS commits, compaction).
+
+    ``corpus_count`` (a manifest stat — never counted here) sizes
+    (n_bits, n_tables) via ``choose_lsh_params``. The hyperplane config
+    is persisted beside the table; ``ann_index_topk`` reuses it, so
+    served results are IDENTICAL to on-the-fly ``lsh_topk`` with the
+    same parameters. Returns the committed snapshot id."""
+    import json
+    import os
+
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import write_table
+
+    if corpus_count is not None:
+        auto_bits, auto_tables = choose_lsh_params(
+            corpus_count, target_occupancy=target_occupancy
+        )
+        n_bits, n_tables = auto_bits, auto_tables
+        _LOG.info(
+            "ANN index: %d bits x %d tables, expected uniform occupancy "
+            "%.1f", n_bits, n_tables, corpus_count / 2.0 ** n_bits,
+        )
+    keyed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            _table_signatures(F.col(vec_col), dim, n_bits, n_tables, seed)
+        ).alias("__ts"),
+    ).select(
+        (F.col("__ts.sig") * n_tables + F.col("__ts.t")).cast("long")
+        .alias("sig_key"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(build_ts).cast("timestamp").alias("__ats"),
+    )
+    snap = write_table(
+        keyed, root, key_col="sig_key", ts_col="__ats",
+        n_buckets=n_buckets, dt_granularity="month",
+    )
+    get_io().write_atomic(
+        os.path.join(root, "_ann.json"),
+        json.dumps(
+            {
+                "dim": dim, "n_bits": n_bits, "n_tables": n_tables,
+                "seed": seed, "id_col": id_col, "vec_col": vec_col,
+                "n_buckets": n_buckets,
+            }
+        ),
+    )
+    return snap
+
+
+def ann_index_topk(
+    queries: DataFrame,
+    root: str,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    prune_max_keys: int = 10_000,
+) -> DataFrame:
+    """Serve approximate top-k from a persisted ``build_ann_index``
+    table. Query vectors hash with the PERSISTED hyperplane config, so
+    candidates — and therefore results — equal on-the-fly ``lsh_topk``
+    with the same parameters (pinned by test).
+
+    Point/interactive lookups (≤``prune_max_keys`` distinct signature
+    keys, the bounded-collect pattern from retrieval bucket pruning)
+    prune the layout to the touched buckets; larger batches scan the
+    index once and shuffle-join on the signature key."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import buckets_of_keys, read_table
+
+    spark = queries.sparkSession
+    meta = json.loads(get_io().read_text(os.path.join(root, "_ann.json")))
+    dim, n_bits = meta["dim"], meta["n_bits"]
+    n_tables, seed = meta["n_tables"], meta["seed"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(
+            _table_signatures(F.col(query_vec_col), dim, n_bits, n_tables, seed)
+        ).alias("__ts"),
+    ).select(
+        "__qid", "__qv",
+        (F.col("__ts.sig") * n_tables + F.col("__ts.t")).cast("long")
+        .alias("sig_key"),
+    )
+    sample = (
+        q.select("sig_key").distinct().limit(prune_max_keys + 1).collect()
+    )
+    if len(sample) <= prune_max_keys:
+        buckets = buckets_of_keys(
+            spark, [r["sig_key"] for r in sample], meta["n_buckets"],
+            key_type="bigint",
+        )
+        idx = read_table(spark, root, buckets=buckets)
+    else:
+        idx = read_table(spark, root)
+    # broadcast the query side only when its cardinality is provably
+    # small (zero-job estimate; unestimable → shuffle join, safe at any
+    # batch size — same policy as lsh_topk)
+    from feast_spark.estimate import estimate_rows
+
+    n_q = estimate_rows(queries)
+    q_side = F.broadcast(q) if n_q is not None and n_q <= 100_000 else q
+    cand = (
+        idx.join(q_side, "sig_key")
+        .dropDuplicates(["__qid", id_col])
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

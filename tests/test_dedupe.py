@@ -432,3 +432,59 @@ def test_dedup_spans_removes_cross_doc_boilerplate(spark):
     assert r0["text_dedup"] == rows[0].text  # doc 0 intact, order kept
     r3 = rebuilt[rebuilt["doc_id"] == 3].iloc[0]
     assert boiler not in r3["text_dedup"] and "u3w0" in r3["text_dedup"]
+
+
+def test_ann_index_serves_identical_to_on_the_fly(spark, tmp_path_factory):
+    """VERDICT r03 next #7: a persisted LSH index must serve EXACTLY the
+    on-the-fly lsh_topk results (same hyperplane config, persisted with
+    the table), and a point lookup must read only the buckets its
+    signature keys hash to."""
+    from feast_spark.operators.similarity import ann_index_topk, build_ann_index
+    from feast_spark.sources.pages import plan_files
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    root = str(tmp_path_factory.mktemp("ann") / "idx")
+    build_ann_index(
+        emb, root, dim=64, n_bits=5, n_tables=6, n_buckets=32, seed=11
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ann_index_topk(queries, root, k=7)
+    fly = lsh_topk(emb, queries, dim=64, k=7, n_bits=5, n_tables=6, seed=11)
+    assert served.exceptAll(fly).count() == 0
+    assert fly.exceptAll(served).count() == 0
+    assert served.count() == 5 * 7
+
+    # point lookup: 1 query → ≤ n_tables signature keys → ≤ 6 of the 32
+    # buckets scanned (manifest pruning, not a full index read)
+    one = emb.filter(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    import json as _json
+
+    from feast_spark.operators.similarity import _table_signatures
+    from feast_spark.sources.pages import buckets_of_keys
+
+    keys = [
+        r["k"]
+        for r in one.select(
+            F.explode(
+                _table_signatures(F.col("embedding"), 64, 5, 6, 11)
+            ).alias("ts")
+        ).select(
+            (F.col("ts.sig") * 6 + F.col("ts.t")).cast("long").alias("k")
+        ).collect()
+    ]
+    bks = buckets_of_keys(spark, keys, 32, key_type="bigint")
+    _, pruned = plan_files(root, buckets=bks)
+    _, full = plan_files(root)
+    assert len(bks) <= 6
+    assert len(pruned) < len(full)
+    # correctness of the pruned serve itself
+    s1 = ann_index_topk(one, root, k=7)
+    f1 = lsh_topk(emb, one, dim=64, k=7, n_bits=5, n_tables=6, seed=11)
+    assert s1.exceptAll(f1).count() == 0 and f1.exceptAll(s1).count() == 0
