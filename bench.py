@@ -68,6 +68,11 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "cosine_topk",
+    # LLM-pipeline headliners (VERDICT r03 next #8): near-dup banding,
+    # Gopher quality rules, deterministic stratified sampling
+    "minhash_near_dup",
+    "gopher_quality",
+    "stratified_sample",
 ]
 
 # pages-pipeline scale: sized so the materialize leg takes O(10s) at
