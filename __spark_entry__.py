@@ -915,6 +915,45 @@ def q_near_dup_clusters_star(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters_incr(spark, sf_dir):
+    """Incremental clustering (operators/dedupe.py
+    connected_components_incremental): yesterday's component table is
+    built from a deterministic half of the pair graph, today's
+    remaining pairs are folded in by contracting their endpoints onto
+    the previous labels — the result must equal the full-recompute
+    closure, so it shares near_dup_clusters' RECURSIVE oracle."""
+    from feast_spark.operators.dedupe import (
+        connected_components,
+        connected_components_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    mutated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    corpus = d.unionByName(mutated)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.7, shingle_k=3)
+    # deterministic split standing in for yesterday/today batches
+    day_flag = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == 0
+    prev = connected_components(pairs.filter(day_flag))
+    comp = connected_components_incremental(prev, pairs.filter(~day_flag))
+    out = (
+        corpus.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+        .withColumn("keep", (F.col("doc_id") == F.col("component")))
+    )
+    return out.select(
+        "doc_id", "component", F.col("keep").cast("int").alias("keep")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload → typed metadata struct
     (mapInPandas). Payload here is the utf-8 text bytes (no codecs in
@@ -2083,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_star": q_near_dup_clusters_star,
+        "near_dup_clusters_incr": q_near_dup_clusters_incr,
         "hll_daily_rollup": q_hll_daily_rollup,
         "pack_sequences": q_pack_sequences,
         "simhash_pairs": q_simhash_pairs,
@@ -2190,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
     out["pit_created_tiebreak_cogroup"] = out["pit_created_tiebreak"]
     # both CC algorithms must produce identical clusters
     out["near_dup_clusters_star"] = out["near_dup_clusters"]
+    out["near_dup_clusters_incr"] = out["near_dup_clusters"]
     # a FeatureService resolving to the two views must equal direct
     # multi-view retrieval
     out["feature_service_retrieval"] = out["pit_two_views_prefixed"]

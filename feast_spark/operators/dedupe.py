@@ -563,6 +563,97 @@ def connected_components_star(
     )
 
 
+def connected_components_incremental(
+    prev: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    id_col: str = "id",
+    comp_col: str = "component",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "label",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Fold NEW near-duplicate pairs into an existing component table
+    without recomputing connected components over the whole historical
+    pair graph (VERDICT r03 next #9) — the shape of a daily crawl
+    append: yesterday's corpus is already clustered, today's batch only
+    adds ``new_pairs`` (new-vs-new and new-vs-old matches from the
+    bucketed candidate join).
+
+    Correctness rests on CONTRACTION: the previous component table is a
+    star graph (id → component) that is connectivity-equivalent to the
+    old pair graph, so mapping each new-pair endpoint to its previous
+    component label (identity for unseen ids) and running CC over that
+    contracted graph yields exactly the components of a full recompute
+    over ``old_pairs ∪ new_pairs``. Because labels from
+    ``connected_components``/``connected_components_star`` are the MIN
+    member id of their cluster, the contracted minimum equals the true
+    minimum over all merged members — so relabeled components keep the
+    min-id contract and the result is row-identical to the full
+    recompute (property-tested). ``prev`` must therefore carry min-id
+    labels (any output of this module's CC functions does).
+
+    Scale: the CC iteration runs over a graph with at most
+    ``2·|new_pairs|`` vertices — independent of historical corpus size;
+    the only corpus-sized operations are two hash equi-joins mapping
+    endpoints and one relabel join, all broadcastable when the day's
+    merge set is small. Returns the UPDATED full component table
+    (id, component) covering every id in ``prev`` plus every new id in
+    ``new_pairs``.
+    """
+    prev_lbl = prev.select(
+        F.col(id_col).alias("id"), F.col(comp_col).alias("component")
+    )
+    raw = new_pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    contracted = (
+        raw.join(
+            prev_lbl.select(F.col("id").alias("a"), F.col("component").alias("ca")),
+            "a",
+            "left",
+        )
+        .join(
+            prev_lbl.select(F.col("id").alias("b"), F.col("component").alias("cb")),
+            "b",
+            "left",
+        )
+        .select(
+            F.coalesce("ca", F.col("a")).alias("id_a"),
+            F.coalesce("cb", F.col("b")).alias("id_b"),
+        )
+        # pairs inside one existing component contract to self-loops:
+        # they change nothing, drop them before the iteration
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    cc_fn = connected_components if algorithm == "label" else connected_components_star
+    merged = cc_fn(contracted, max_iter=max_iter).select(
+        F.col("id").alias("__old_lbl"), F.col("component").alias("__new_lbl")
+    )
+    # relabel previous rows whose component participated in a merge
+    updated_prev = (
+        prev_lbl.join(merged, prev_lbl["component"] == merged["__old_lbl"], "left")
+        .select(
+            prev_lbl["id"],
+            F.coalesce("__new_lbl", prev_lbl["component"]).alias("component"),
+        )
+    )
+    # ids never seen before: contracted label is the id itself
+    new_ids = (
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .join(prev_lbl.select("id"), "id", "left_anti")
+    )
+    new_rows = (
+        new_ids.join(merged, new_ids["id"] == merged["__old_lbl"], "left")
+        .select(
+            new_ids["id"],
+            F.coalesce("__new_lbl", new_ids["id"]).alias("component"),
+        )
+    )
+    return updated_prev.unionByName(new_rows)
+
+
 def near_dup_keepers(
     doc_ids: DataFrame,
     pairs: DataFrame,
