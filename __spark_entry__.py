@@ -915,6 +915,40 @@ def q_near_dup_clusters_star(spark, sf_dir):
     )
 
 
+def q_minhash_incr_pairs(spark, sf_dir):
+    """Daily-append near-dup detection from a PERSISTED MinHash band
+    index (operators/dedupe.py build_minhash_index /
+    minhash_incremental_pairs): the historical corpus is indexed once;
+    the new batch hashes only itself and joins the index. Rows-only
+    (xxhash64 has no DuckDB twin); identity with the batch operator
+    over old∪new restricted to new-endpoint pairs is pinned by
+    tests/test_dedupe.py."""
+    import tempfile
+
+    from feast_spark.operators.dedupe import (
+        build_minhash_index,
+        minhash_incremental_pairs,
+    )
+
+    old = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_mh_"), "idx")
+    build_minhash_index(old, root, num_hashes=32, bands=8, shingle_k=3)
+    new_batch = old.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+    pairs = minhash_incremental_pairs(
+        new_batch, root, threshold=0.7, verify="exact", old_docs=old
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_near_dup_clusters_incr(spark, sf_dir):
     """Incremental clustering (operators/dedupe.py
     connected_components_incremental): yesterday's component table is
@@ -2123,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_star": q_near_dup_clusters_star,
         "near_dup_clusters_incr": q_near_dup_clusters_incr,
+        "minhash_incr_pairs": q_minhash_incr_pairs,
         "hll_daily_rollup": q_hll_daily_rollup,
         "pack_sequences": q_pack_sequences,
         "simhash_pairs": q_simhash_pairs,

@@ -80,6 +80,21 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _band_key_array(bands: int, rows_per_band: int) -> Column:
+    """Array of per-band LSH keys over signature columns h0..h{n-1}:
+    band b's key hashes the band index with its ``rows_per_band``
+    signature slots, so equal keys ⇔ the band's hashes all match."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     *,
@@ -103,16 +118,11 @@ def minhash_near_dup_pairs(
         df, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_k=shingle_k,
     )
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = sig.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_id", "band_key")
+        F.col(id_col),
+        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -143,6 +153,223 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    root: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    n_buckets: int = 32,
+    build_ts: str = "2020-01-01",
+) -> int:
+    """Persist the MinHash band-bucket table as a layout table — the
+    state that makes DAILY-APPEND dedup possible without re-hashing the
+    historical corpus (pairs with ``connected_components_incremental``:
+    index the corpus once, then each new crawl batch hashes only itself
+    and joins the index).
+
+    Row shape: (band_key, band_id, doc_id, sig) — one row per (doc,
+    band), bucketed on ``band_key`` so the incremental candidate join
+    is bucket-local. The full signature array rides every band row
+    (×bands storage) so signature-estimated verification needs no
+    second join; at 10^12 docs you would normalize (band table + one
+    signature table) and pay the extra join instead — documented trade.
+    Config is persisted beside the table and reused verbatim by
+    ``append_minhash_index``/``minhash_incremental_pairs``, so index
+    and query hashes can never drift. Returns the committed snapshot.
+    """
+    import json as _json
+    import os as _os
+
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import write_table
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into bands evenly")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        corpus, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    keyed = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+        F.lit(build_ts).cast("timestamp").alias("__ats"),
+    )
+    snap = write_table(
+        keyed, root, key_col="band_key", ts_col="__ats",
+        n_buckets=n_buckets, dt_granularity="month",
+    )
+    get_io().write_atomic(
+        _os.path.join(root, "_minhash.json"),
+        _json.dumps(
+            {
+                "id_col": id_col, "text_col": text_col,
+                "num_hashes": num_hashes, "bands": bands,
+                "shingle_k": shingle_k, "n_buckets": n_buckets,
+            }
+        ),
+    )
+    return snap
+
+
+def _minhash_index_config(root: str) -> dict:
+    import json as _json
+    import os as _os
+
+    from feast_spark.sources.fileio import get_io
+
+    return _json.loads(get_io().read_text(_os.path.join(root, "_minhash.json")))
+
+
+def _minhash_band_rows(new_batch: DataFrame, cfg: dict) -> DataFrame:
+    """(id, sig, band_id, band_key) for a batch, hashed with the
+    PERSISTED index config."""
+    rows_per_band = cfg["num_hashes"] // cfg["bands"]
+    sig = minhash_signature(
+        new_batch, id_col=cfg["id_col"], text_col=cfg["text_col"],
+        num_hashes=cfg["num_hashes"], shingle_k=cfg["shingle_k"],
+    )
+    return sig.select(
+        F.col(cfg["id_col"]),
+        F.array(*[F.col(f"h{j}") for j in range(cfg["num_hashes"])]).alias("sig"),
+        F.posexplode(_band_key_array(cfg["bands"], rows_per_band)).alias(
+            "band_id", "band_key"
+        ),
+    )
+
+
+def append_minhash_index(
+    new_batch: DataFrame, root: str, *, build_ts: str = "2020-01-02"
+) -> int:
+    """Fold a new batch's band rows into the persisted index (layout
+    append — inherits snapshot/CAS commit machinery). Call AFTER
+    ``minhash_incremental_pairs`` for the same batch: the pair step
+    expects the index to hold only PRIOR docs (otherwise the batch
+    meets itself twice — once via the index, once via its self-join)."""
+    from feast_spark.sources.pages import write_table
+
+    cfg = _minhash_index_config(root)
+    keyed = _minhash_band_rows(new_batch, cfg).withColumn(
+        "__ats", F.lit(build_ts).cast("timestamp")
+    )
+    return write_table(
+        keyed, root, key_col="band_key", ts_col="__ats",
+        n_buckets=cfg["n_buckets"], dt_granularity="month", mode="append",
+    )
+
+
+def minhash_incremental_pairs(
+    new_batch: DataFrame,
+    root: str,
+    *,
+    threshold: float = 0.8,
+    verify: str = "exact",
+    old_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs TOUCHING a new batch, against a persisted
+    ``build_minhash_index`` — the daily-append candidate step: hashes
+    only the batch, joins its band keys against the index (new-vs-old)
+    plus a batch self-join (new-vs-new). Never rehashes or self-joins
+    the historical corpus; the only corpus-sized operation is the
+    band-key equi-join, bucket-co-located with the index layout.
+
+    ``verify="exact"`` recomputes true shingle Jaccard on candidates —
+    requires ``old_docs`` (id, text) for the historical side; the scan
+    is candidate-bounded (join on candidate ids; with a doc layout
+    bucketed on the id this prunes to touched buckets). With the same
+    config/threshold the result is row-identical to the batch operator
+    ``minhash_near_dup_pairs`` over old∪new, restricted to pairs with a
+    new endpoint (pinned by test). ``verify="signature"`` estimates
+    Jaccard as the fraction of agreeing signature slots — index-only,
+    no text access, the pure-streaming shape; unbiased estimator with
+    sd ≈ sqrt(J(1−J)/num_hashes), so thresholding it admits borderline
+    error (recall-tested, not identity-tested). Returns
+    (id_a, id_b, jaccard), id_a < id_b."""
+    if verify not in ("exact", "signature"):
+        raise ValueError(f"verify must be exact|signature, got {verify!r}")
+    from feast_spark.sources.pages import read_table
+
+    spark = new_batch.sparkSession
+    cfg = _minhash_index_config(root)
+    id_col = cfg["id_col"]
+    new_rows = _minhash_band_rows(new_batch, cfg).localCheckpoint()
+    idx = read_table(spark, root).select(id_col, "sig", "band_id", "band_key")
+
+    def _cand(left: DataFrame, right: DataFrame) -> DataFrame:
+        a, b = left.alias("a"), right.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+        )
+
+    # the self-join emits each collision twice ((a,b) and (b,a) both
+    # canonicalize to the same row) — dropDuplicates keeps one
+    cand = (
+        _cand(new_rows, new_rows)
+        .unionByName(_cand(new_rows, idx))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if verify == "signature":
+        n = cfg["num_hashes"]
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        return (
+            cand.withColumn("jaccard", agree / F.lit(float(n)))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    if old_docs is None:
+        raise ValueError("verify='exact' needs old_docs (id, text) for the "
+                         "historical side; use verify='signature' for "
+                         "index-only estimation")
+    texts = old_docs.select(
+        F.col(id_col), F.col(cfg["text_col"]).alias("__txt")
+    ).unionByName(
+        new_batch.select(F.col(id_col), F.col(cfg["text_col"]).alias("__txt"))
+    )
+    # shingle only the docs that appear in a candidate pair: the semi
+    # join prunes BEFORE the expensive shingling, so verify cost tracks
+    # the candidate set, not the corpus (old/new ids must be disjoint)
+    cids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = texts.join(cids, id_col, "semi").select(
+        F.col(id_col), _shingles(F.col("__txt"), cfg["shingle_k"]).alias("__sh")
+    )
+    return (
+        cand.select("id_a", "id_b")
+        .join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(

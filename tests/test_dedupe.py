@@ -568,3 +568,119 @@ def test_incremental_cc_random_appends_and_star(spark):
         for r in connected_components(full_df, max_iter=60).collect()
     }
     assert incr == full
+
+
+@pytest.fixture(scope="module")
+def mh_index(spark, docs, tmp_path_factory):
+    """Persisted MinHash index over the ORIGINAL docs only (the planted
+    near/exact dups play the role of today's crawl batch)."""
+    from feast_spark.operators.dedupe import build_minhash_index
+
+    old = docs.filter(F.col("doc_id") < 100_000)
+    root = str(tmp_path_factory.mktemp("mh") / "idx")
+    build_minhash_index(old, root, num_hashes=32, bands=8, shingle_k=3)
+    return old, root
+
+
+def test_minhash_incremental_equals_batch(spark, docs, mh_index):
+    """Exact-verified incremental pairs (new batch vs persisted index)
+    must be row-identical to the batch operator over old∪new restricted
+    to pairs with a new endpoint — same hash config, same threshold."""
+    from feast_spark.operators.dedupe import minhash_incremental_pairs
+
+    old, root = mh_index
+    new = docs.filter(F.col("doc_id") >= 100_000)
+    incr = minhash_incremental_pairs(
+        new, root, threshold=0.8, verify="exact", old_docs=old
+    ).toPandas()
+    full = minhash_near_dup_pairs(
+        docs, threshold=0.8, num_hashes=32, bands=8, shingle_k=3
+    ).toPandas()
+    touching = full[(full.id_a >= 100_000) | (full.id_b >= 100_000)]
+    mk = lambda df: {
+        (min(a, b), max(a, b), round(j, 6))
+        for a, b, j in zip(df.id_a, df.id_b, df.jaccard)
+    }
+    assert mk(incr) == mk(touching)
+    assert len(mk(touching)) > 0  # the comparison is non-vacuous
+
+
+def test_minhash_incremental_signature_estimate(spark, docs, mh_index):
+    """Index-only signature verification: exact copies estimate J=1.0,
+    and planted near-dups are recalled at a loose threshold (the
+    estimator has sd ≈ sqrt(J(1−J)/32) ≈ 0.07 at J=0.8)."""
+    from feast_spark.operators.dedupe import minhash_incremental_pairs
+
+    _, root = mh_index
+    new = docs.filter(F.col("doc_id") >= 100_000)
+    est = minhash_incremental_pairs(
+        new, root, threshold=0.5, verify="signature"
+    ).toPandas()
+    found = {(min(a, b), max(a, b)): j
+             for a, b, j in zip(est.id_a, est.id_b, est.jaccard)}
+    exact_ids = sorted(
+        r["doc_id"] for r in docs.filter(F.col("doc_id") >= 200_000).collect()
+    )
+    for e in exact_ids:
+        assert found.get((e - 200_000, e)) == 1.0, (e, found.get((e - 200_000, e)))
+    near_ids = [r["doc_id"] for r in docs.filter(
+        (F.col("doc_id") >= 100_000) & (F.col("doc_id") < 200_000)
+    ).collect()]
+    hit = sum(1 for n in near_ids if (n - 100_000, n) in found)
+    assert hit >= int(0.9 * len(near_ids)), (hit, len(near_ids))
+
+
+def test_minhash_append_then_next_batch(spark, docs, mh_index, tmp_path):
+    """Append day-1's batch into the index, then day-2's batch must see
+    BOTH prior days — identical to the batch operator over all three
+    corpora restricted to day-2 pairs. Proves the layout-append path
+    serves, and chains with incremental CC to the full-recompute
+    clustering."""
+    import shutil
+
+    from feast_spark.operators.dedupe import (
+        append_minhash_index,
+        connected_components,
+        connected_components_incremental,
+        minhash_incremental_pairs,
+    )
+
+    old, root0 = mh_index
+    root = str(tmp_path / "idx")
+    shutil.copytree(root0, root)  # keep the shared fixture pristine
+    day1 = docs.filter(F.col("doc_id") >= 100_000)
+    day1_pairs = minhash_incremental_pairs(
+        day1, root, threshold=0.8, verify="exact", old_docs=old
+    ).localCheckpoint()
+    append_minhash_index(day1, root)
+    day2 = day1.select(
+        (F.col("doc_id") + 300_000).alias("doc_id"), "text"
+    )
+    day2_pairs = minhash_incremental_pairs(
+        day2, root, threshold=0.8, verify="exact", old_docs=docs
+    ).toPandas()
+    corpus = docs.unionByName(day2.select("doc_id", "text"))
+    full_sdf = minhash_near_dup_pairs(
+        corpus, threshold=0.8, num_hashes=32, bands=8, shingle_k=3
+    ).localCheckpoint()
+    full = full_sdf.toPandas()
+    touching2 = full[(full.id_a >= 400_000) | (full.id_b >= 400_000)]
+    mk = lambda df: {
+        (min(a, b), max(a, b), round(j, 6))
+        for a, b, j in zip(df.id_a, df.id_b, df.jaccard)
+    }
+    day2_df = spark.createDataFrame(day2_pairs)
+    assert mk(day2_pairs) == mk(touching2) and len(mk(touching2)) > 0
+    # end-to-end: incremental pair batches + incremental CC == full CC
+    old_pairs = minhash_near_dup_pairs(
+        old, threshold=0.8, num_hashes=32, bands=8, shingle_k=3
+    )
+    comp = connected_components(old_pairs, max_iter=60)
+    comp = connected_components_incremental(comp, day1_pairs, max_iter=60)
+    comp = connected_components_incremental(comp, day2_df, max_iter=60)
+    incr_cc = {r["id"]: r["component"] for r in comp.collect()}
+    full_cc = {
+        r["id"]: r["component"]
+        for r in connected_components(full_sdf, max_iter=60).collect()
+    }
+    assert incr_cc == full_cc
