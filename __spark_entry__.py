@@ -915,6 +915,28 @@ def q_near_dup_clusters_star(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity split (operators/text.py
+    char_ngram_lm / perplexity_buckets, Wenzek et al. LREC 2020): char
+    3-gram LM trained on every-10th doc, cross-entropy scored with
+    broadcast model joins, fixed cutoffs (the scale path — no global
+    sort). The DuckDB oracle RETRAINS the same LM from the same slice
+    and rescores, so model math and scoring are both checked."""
+    from feast_spark.operators.text import char_ngram_lm, perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = char_ngram_lm(docs.filter(F.col("doc_id") % 10 == 0), order=3)
+    out = perplexity_buckets(
+        docs.filter(F.col("doc_id") < 300), lm, thresholds=(0.92, 0.94)
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("h", 4).alias("h"),
+        "bucket",
+    )
+
+
 def q_minhash_incr_pairs(spark, sf_dir):
     """Daily-append near-dup detection from a PERSISTED MinHash band
     index (operators/dedupe.py build_minhash_index /
@@ -2158,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters_star": q_near_dup_clusters_star,
         "near_dup_clusters_incr": q_near_dup_clusters_incr,
         "minhash_incr_pairs": q_minhash_incr_pairs,
+        "perplexity_buckets": q_perplexity_buckets,
         "hll_daily_rollup": q_hll_daily_rollup,
         "pack_sequences": q_pack_sequences,
         "simhash_pairs": q_simhash_pairs,
@@ -3221,6 +3244,56 @@ def _oracles() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(j, 4) AS jaccard
             FROM pairs WHERE j >= 0.7
+        """,
+        "perplexity_buckets": r"""
+            WITH ref AS (
+              SELECT lower(text) AS t FROM documents WHERE doc_id % 10 = 0
+            ),
+            g AS (
+              SELECT unnest(list_transform(
+                       range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram
+              FROM ref WHERE len(t) >= 3
+            ),
+            gc AS (SELECT gram, count(*) AS c_gram FROM g GROUP BY gram),
+            cc AS (
+              SELECT substr(gram, 1, 2) AS ctx, count(*) AS c_ctx
+              FROM g GROUP BY ctx
+            ),
+            v AS (SELECT count(DISTINCT substr(gram, 3, 1)) AS v FROM g),
+            d AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+              WHERE doc_id < 300
+            ),
+            dg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(t) - 1), i -> substr(t, i, 3))) AS gram
+              FROM d WHERE len(t) >= 3
+            ),
+            scored AS (
+              SELECT dg.doc_id,
+                     dg.gram,
+                     -ln((COALESCE(gc.c_gram, 0) + 1)::DOUBLE
+                         / (COALESCE(cc.c_ctx, 0) + (SELECT v FROM v)))
+                       AS nll
+              FROM dg
+              LEFT JOIN gc USING (gram)
+              LEFT JOIN cc ON substr(dg.gram, 1, 2) = cc.ctx
+            ),
+            agg AS (
+              SELECT d.doc_id,
+                     count(s.gram) AS n_grams,
+                     COALESCE(avg(s.nll), ln((SELECT v FROM v))) AS h
+              FROM d LEFT JOIN scored s USING (doc_id)
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   round(h, 4) + 0.0 AS h,
+                   CASE WHEN h <= 0.92 THEN 'head'
+                        WHEN h <= 0.94 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM agg
         """,
         "near_dup_clusters": r"""
             WITH RECURSIVE docs AS (

@@ -619,3 +619,125 @@ def profile_table(df: DataFrame) -> DataFrame:
     return row.select(
         F.col("__n").alias("n_rows"), F.explode(F.array(*cols)).alias("p")
     ).select("n_rows", "p.*")
+
+
+def char_ngram_lm(
+    ref: DataFrame, *, text_col: str = "text", order: int = 3
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train a character n-gram language model from a reference corpus
+    slice — the model behind CCNet-style perplexity filtering (Wenzek
+    et al., "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", LREC 2020 — public; production uses a KenLM 5-gram,
+    this is the same math at char-trigram scale, exactly
+    SQL-expressible so the oracle can recompute it).
+
+    Returns (gram_counts, context_counts, alphabet_size): counts of
+    ``order``-grams and (order−1)-gram contexts over the lowercased
+    reference, plus |alphabet| for add-one smoothing —
+    P(g) = (c(g)+1) / (c(ctx(g))+V). Model size is bounded by
+    |alphabet|^order (≈10^5 for web text at order 3): broadcast-joinable
+    state, trained in two map-side-combinable counts over ONE gram
+    explode."""
+    grams = ref.select(
+        F.explode(_char_grams(F.col(text_col), order)).alias("gram")
+    ).localCheckpoint()  # both counts + alphabet reuse the explode
+    gram_counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
+    ctx_counts = (
+        grams.select(F.substring("gram", 1, order - 1).alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    alphabet = (
+        grams.select(F.substring("gram", order, 1).alias("ch"))
+        .distinct()
+        .count()
+    )
+    return gram_counts, ctx_counts, alphabet
+
+
+def _char_grams(col: Column, order: int) -> Column:
+    """Sliding lowercase character n-grams (positions 1..len−order+1;
+    empty array for docs shorter than ``order``). Pure JVM higher-order
+    functions — codegen'd, no Python in the hot path."""
+    lo = F.lower(col)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard
+    # short docs explicitly
+    return F.when(
+        F.length(lo) >= order,
+        F.transform(
+            F.sequence(F.lit(1), F.length(lo) - order + 1),
+            lambda i: lo.substr(i, F.lit(order)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: tuple[DataFrame, DataFrame, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+) -> DataFrame:
+    """Per-document cross-entropy H (avg −ln P per char n-gram) under a
+    ``char_ngram_lm`` — perplexity = e^H; CCNet ranks and buckets on
+    this. The doc-side explode is ∝ characters (the same cost class as
+    shingling); both model joins BROADCAST (model ≤ |alphabet|^order
+    rows); the per-doc average is a map-side-combinable groupBy. Docs
+    shorter than ``order`` chars get H = −ln(1/V) (pure OOV). Returns
+    (id, n_grams, h)."""
+    from pyspark.sql.functions import broadcast
+
+    gram_counts, ctx_counts, alphabet = lm
+    g = docs.select(
+        F.col(id_col),
+        F.explode_outer(_char_grams(F.col(text_col), order)).alias("gram"),
+    ).withColumn("ctx", F.substring("gram", 1, order - 1))
+    scored = (
+        g.join(broadcast(gram_counts), "gram", "left")
+        .join(broadcast(ctx_counts), "ctx", "left")
+        .withColumn(
+            "__nll",
+            -F.log(
+                (F.coalesce("c_gram", F.lit(0)) + 1)
+                / (F.coalesce("c_ctx", F.lit(0)) + alphabet)
+            ),
+        )
+    )
+    oov = float(__import__("math").log(alphabet))
+    return scored.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(F.avg("__nll"), F.lit(oov)).alias("h"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: tuple[DataFrame, DataFrame, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+    thresholds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail split on LM cross-entropy. With
+    ``thresholds=(t1, t2)`` (the SCALE path) docs are labeled by
+    comparison against precomputed cutoffs — no global operation beyond
+    the score itself; CCNet computes such cutoffs once per language
+    from a sample. Without thresholds, an exact equal-thirds ntile(3)
+    over (h, id) — a global sort, fine for the oracle-checked fixture
+    path, not the 100 TB default. Returns (id, n_grams, h, bucket)."""
+    scored = perplexity_score(
+        docs, lm, id_col=id_col, text_col=text_col, order=order
+    )
+    if thresholds is not None:
+        t1, t2 = thresholds
+        bucket = (
+            F.when(F.col("h") <= t1, "head")
+            .when(F.col("h") <= t2, "middle")
+            .otherwise("tail")
+        )
+    else:
+        n = F.ntile(3).over(Window.orderBy("h", id_col))
+        bucket = F.when(n == 1, "head").when(n == 2, "middle").otherwise("tail")
+    return scored.withColumn("bucket", bucket)

@@ -304,3 +304,49 @@ def test_lang_id_recall_multilingual(spark):
     }
     wrong = {l: p for l, p in got.items() if l != p}
     assert not wrong, wrong
+
+
+def test_perplexity_lm_semantics(spark):
+    """CCNet-style char-LM scoring (operators/text.py char_ngram_lm /
+    perplexity_score / perplexity_buckets): in-domain text scores lower
+    cross-entropy than gibberish; short docs fall back to pure-OOV
+    h = ln(V); thresholds and ntile paths agree on ordering."""
+    import math
+
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import (
+        char_ngram_lm,
+        perplexity_buckets,
+        perplexity_score,
+    )
+
+    ref_rows = [
+        Row(text="the quick brown fox jumps over the lazy dog and then "
+                 "the dog runs home to the house near the river")
+    ] * 3
+    lm = char_ngram_lm(spark.createDataFrame(ref_rows), order=3)
+    gram_counts, ctx_counts, alphabet = lm
+    assert alphabet > 5
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the dog runs to the house near the river"),
+        Row(doc_id=2, text="zxq vw kjy pqz xxj wqk zzv qqp jjx kkz"),
+        Row(doc_id=3, text="ab"),  # shorter than order: zero grams
+    ])
+    got = {r["doc_id"]: r for r in perplexity_score(docs, lm).collect()}
+    assert got[1]["h"] < got[2]["h"]  # in-domain beats gibberish
+    assert got[3]["n_grams"] == 0
+    assert abs(got[3]["h"] - math.log(alphabet)) < 1e-12
+
+    by_h = sorted(got, key=lambda d: (got[d]["h"], d))
+    want = dict(zip(by_h, ["head", "middle", "tail"]))
+    thr = perplexity_buckets(
+        docs, lm,
+        thresholds=(got[by_h[0]]["h"] + 1e-9, got[by_h[1]]["h"] + 1e-9),
+    )
+    lab = {r["doc_id"]: r["bucket"] for r in thr.collect()}
+    assert lab == want
+    nt = perplexity_buckets(docs, lm)  # exact equal-thirds path
+    lab_nt = {r["doc_id"]: r["bucket"] for r in nt.collect()}
+    assert lab_nt == want
