@@ -73,6 +73,7 @@ HEADLINE = [
     "minhash_near_dup",
     "gopher_quality",
     "stratified_sample",
+    "perplexity_buckets",
 ]
 
 # pages-pipeline scale: sized so the materialize leg takes O(10s) at

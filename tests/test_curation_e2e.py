@@ -114,3 +114,76 @@ def test_full_curation_pipeline(spark, raw_docs):
     split = hash_split(sampled, id_col="doc_id", test_frac=0.2)
     assert split.filter(F.col("split") == "test").count() > 0
     assert split.count() == sampled.count()
+
+
+def test_daily_append_curation_pipeline(spark, tmp_path):
+    """The INCREMENTAL composition (round 4): day 0 builds state — a
+    MinHash band index + component table + perplexity LM; each later
+    day hashes only its batch, joins the index, folds new pairs into
+    the clustering, appends the index, and scores quality with the
+    frozen day-0 LM. End state must match a from-scratch batch run
+    over the full corpus — the correctness contract that makes the
+    incremental path trustworthy at 100 TB."""
+    from feast_spark.operators.dedupe import (
+        append_minhash_index,
+        build_minhash_index,
+        connected_components,
+        connected_components_incremental,
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+    from feast_spark.operators.text import char_ngram_lm, perplexity_score
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+        .cache()
+    )
+    def mutate(src, offset):
+        return src.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.expr(
+                "concat_ws(' ', slice(split(text, ' '), 1, "
+                "size(split(text, ' ')) - 1))"
+            ).alias("text"),
+        )
+    day1 = mutate(base.filter(F.col("doc_id") < 40), 1_000_000)
+    day2 = mutate(base.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)),
+                  2_000_000).unionByName(mutate(day1.limit(10), 3_000_000))
+
+    cfg = dict(num_hashes=32, bands=8, shingle_k=3)
+    root = str(tmp_path / "mh_idx")
+    build_minhash_index(base, root, **cfg)
+    comp = connected_components(
+        minhash_near_dup_pairs(base, threshold=0.8, **cfg), max_iter=60
+    ).localCheckpoint()
+    lm = char_ngram_lm(base, order=3)
+
+    seen = base
+    for day in (day1, day2):
+        pairs = minhash_incremental_pairs(
+            day, root, threshold=0.8, verify="exact", old_docs=seen
+        ).localCheckpoint()
+        comp = connected_components_incremental(comp, pairs, max_iter=60) \
+            .localCheckpoint()
+        append_minhash_index(day, root)
+        seen = seen.unionByName(day).localCheckpoint()
+
+    incr_cc = {r["id"]: r["component"] for r in comp.collect()}
+    full_cc = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            minhash_near_dup_pairs(seen, threshold=0.8, **cfg), max_iter=60
+        ).collect()
+    }
+    assert incr_cc == full_cc and len(incr_cc) > 0
+
+    # quality scoring with the frozen day-0 LM is stable across days:
+    # a doc present on day 0 scores identically when rescored later
+    h0 = {r["doc_id"]: r["h"]
+          for r in perplexity_score(base.limit(20), lm).collect()}
+    h2 = {r["doc_id"]: r["h"]
+          for r in perplexity_score(
+              seen.filter(F.col("doc_id") < 20), lm).collect()}
+    assert all(abs(h0[d] - h2[d]) < 1e-12 for d in h2)
