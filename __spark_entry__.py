@@ -1252,6 +1252,78 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_domain_quota(spark, sf_dir):
+    """RefinedWeb-style per-domain quota (operators.sampling
+    domain_quota_sample): a synthesized crawl where one hot domain holds
+    60% of the pages is capped at 20 docs/domain via the threshold
+    (hot-stratum) scale path; domain parsing (parse_url + registrable
+    last-two-labels, case/subdomain stripping) is value-checked against
+    the oracle's arithmetic reconstruction."""
+    from feast_spark.operators.sampling import domain_quota_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 10
+    url = (
+        F.when(m < 6, F.concat(F.lit("https://Hot.Example.COM/p/"),
+                               F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://www.Site"),
+                            F.col("doc_id") % 7,
+                            F.lit(".NET/d/"), F.col("doc_id")))
+    )
+    out = domain_quota_sample(
+        d.withColumn("url", url), url_col="url", id_col="doc_id",
+        quota=20, strategy="threshold",
+    )
+    return out.select("doc_id", "domain")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4/RefinedWeb blocklist filtering (operators/text.py
+    blocklist_filter): domain-blocklist anti-join (site3.net planted on
+    ~4% of synthesized URLs) + one banned-phrase marker planted on every
+    7th doc's text; survivor set and text pass-through value-checked
+    against the oracle's arithmetic reconstruction."""
+    from feast_spark.operators.text import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 10
+    url = (
+        F.when(m < 6, F.concat(F.lit("https://Hot.Example.COM/p/"),
+                               F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://www.Site"),
+                            F.col("doc_id") % 7,
+                            F.lit(".NET/d/"), F.col("doc_id")))
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ZzYzX plug"))
+        .otherwise(F.lit("")),
+    )
+    src = d.select("doc_id", url.alias("url"), planted.alias("text"))
+    out = blocklist_filter(
+        src, blocked_domains=["Site3.NET"], banned_phrases=["zzyzx"]
+    )
+    return out.select("doc_id", F.length("text").alias("len"))
+
+
+def q_normalize_text(spark, sf_dir):
+    """CCNet-style text normalization (operators/text.py normalize_text,
+    fused pyarrow kernel chain): combining accents, control bytes and
+    whitespace runs planted around every doc's text; the normalized
+    string is value-hashed against DuckDB's independent
+    nfc_normalize + RE2 reconstruction — NFC math itself is checked,
+    not just the plumbing."""
+    from feast_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = F.concat(
+        F.lit("a\t é  "), F.col("text"), F.lit(" z  ")
+    )
+    return d.select(
+        "doc_id", normalize_text(messy).alias("norm")
+    )
+
+
 def q_layout_prune_scan(spark, sf_dir):
     """S2/S6 driver-verified: events → Iceberg-style layout (sorted files,
     manifest) → manifest-pruned read over a time range. The pruned scan +
@@ -2187,6 +2259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- implementation changed in round 4 (re-sign)
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
+        # -- NEW in round 4: RefinedWeb per-domain quota + blocklist
+        "domain_quota": q_domain_quota,
+        "blocklist_filter": q_blocklist_filter,
+        "normalize_text": q_normalize_text,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3414,6 +3490,37 @@ def _oracles() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    min(event_id) AS min_id, max(event_id) AS max_id
             FROM events GROUP BY 1
+        """,
+        "domain_quota": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'example.com'
+                          ELSE 'site' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.net' END AS domain
+              FROM documents
+            )
+            SELECT doc_id, domain FROM (
+              SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'),
+                                doc_id) AS rn
+              FROM u
+            ) WHERE rn <= 20
+        """,
+        "blocklist_filter": """
+            SELECT doc_id, length(text) AS len
+            FROM documents
+            WHERE doc_id % 7 <> 0
+              AND NOT (doc_id % 10 >= 6 AND doc_id % 7 = 3)
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     nfc_normalize('a' || chr(9) || ' e' || chr(769)
+                       || '  ' || text || ' ' || chr(1) || 'z  '),
+                     '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))
+                   AS norm
+            FROM documents
         """,
         "validate_events": """
             SELECT 'row_count_min' AS kind, CAST(NULL AS VARCHAR) AS "column",

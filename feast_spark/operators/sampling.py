@@ -17,6 +17,10 @@ oracle engines don't ship it).
 - ``hash_split``: train/test split by hash prefix — stable across runs,
   new rows land in a split independently of old rows (the property
   ``rand() < frac`` lacks).
+- ``domain_quota_sample``: RefinedWeb-style per-domain document cap
+  (Penedo et al. 2023 §3.1 apply a per-domain limit to stop a handful
+  of mega-sites dominating the corpus) — a stratified sample whose
+  stratum is the registrable domain parsed from the URL.
 """
 
 from __future__ import annotations
@@ -196,6 +200,67 @@ def check_sample_guard(df: DataFrame) -> int:
             f"{oversample}; retry with a larger oversample"
         )
     return actual
+
+
+def registrable_domain(url_col: str | Column) -> Column:
+    """Lower-cased registrable domain of a URL: the last two dot-labels
+    of the host (``www.Site7.NET/x`` → ``site7.net``). A public-suffix
+    list would split ``co.uk``-style hosts correctly; none ships in this
+    container, so last-two-labels is the documented approximation (the
+    same one C4's original corpus tooling used before PSL adoption).
+    Hosts with a single label (``localhost``) pass through whole; URLs
+    with no parseable host yield NULL (``try_parse_url`` — a crawl
+    always contains malformed URLs; a throwing parse would kill the
+    whole job for one bad row)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(host.isNull(), F.lit(None)).otherwise(
+        F.when(two == "", host).otherwise(two)
+    )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    *,
+    url_col: str,
+    id_col: str,
+    quota: int,
+    seed: int = 42,
+    strategy: str = "threshold",
+    oversample: float = 4.0,
+    guard: str = "eager",
+    domain_out: str = "domain",
+) -> DataFrame:
+    """Cap the corpus at ``quota`` documents per registrable domain —
+    the RefinedWeb / Dolma curation step that stops patent mirrors and
+    link farms from dominating a crawl-derived training set.
+
+    Semantics: exactly :func:`stratified_sample` with the stratum
+    derived per-row from ``url_col`` via :func:`registrable_domain`
+    (kept in the output as ``domain_out`` for auditability). Kept rows
+    are the ``quota`` smallest ``md5(id|seed)`` per domain —
+    deterministic on any cluster size, partitioning, or retry.
+
+    Scale shape: domains are quota-capped precisely BECAUSE they are
+    hot, so the default is the ``threshold`` strategy — the hash
+    prefilter shrinks a 10^9-page domain to ~``oversample*quota`` rows
+    before the per-domain window ranks them; the window strategy would
+    put the whole hot domain in one task. NULL domains (unparseable
+    URLs) form their own stratum and are capped like any other
+    (eqNullSafe plumbing in stratified_sample).
+    """
+    tagged = df.withColumn(domain_out, registrable_domain(url_col))
+    return stratified_sample(
+        tagged,
+        group_col=domain_out,
+        id_col=id_col,
+        k=quota,
+        seed=seed,
+        strategy=strategy,
+        oversample=oversample,
+        guard=guard,
+    )
 
 
 def pack_sequences(

@@ -310,6 +310,42 @@ def char_class_ratios_pandas(df: DataFrame, text_col: str = "text") -> DataFrame
     return df.withColumn("q_punct_ratio_py", punct_ratio(F.col(text_col)))
 
 
+def normalize_text(col: str | Column = "text") -> Column:
+    """CCNet-style text normalization (Wenzek et al. LREC 2020 normalize
+    before hashing; ftfy's cheap subset): Unicode NFC composition,
+    control characters → space, whitespace runs collapsed, ends trimmed.
+    Canonicalizing BEFORE fingerprint/MinHash makes byte-different but
+    render-identical pages (combining vs precomposed accents, stray
+    control bytes, whitespace variance) hash equal — at crawl scale
+    that's real dedup recall, not cosmetics.
+
+    Spark has no built-in Unicode normalizer, so this is ONE Arrow-batched
+    scalar pandas UDF: NFC via ``Series.str.normalize`` (a C loop over
+    the batch — this container's pyarrow ``utf8_normalize`` only
+    decomposes, it never composes, verified empirically), then a fused
+    chain of pyarrow compute kernels (replace_substring_regex ×2 →
+    utf8_trim_whitespace) with strings staying in Arrow buffers.
+    NULL in → NULL out.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        arr = pa.Array.from_pandas(
+            s.str.normalize("NFC"), type=pa.string()
+        )
+        arr = pc.replace_substring_regex(
+            arr, pattern=r"[\x00-\x1f\x7f]", replacement=" "
+        )
+        arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+        arr = pc.utf8_trim_whitespace(arr)
+        return arr.to_pandas()
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _norm(c)
+
+
 # ---------------------------------------------------------- Gopher --------
 
 
@@ -453,6 +489,70 @@ def canonical_url(col: str | Column = "url") -> Column:
         F.length(canon_q) > 0,
         F.concat(lowered_head, path, F.lit("?"), canon_q),
     ).otherwise(F.concat(lowered_head, path))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    blocked_domains=None,
+    banned_phrases: list[str] | None = None,
+    broadcast_blocklist: bool = True,
+) -> DataFrame:
+    """C4/RefinedWeb-style blocklist filtering: drop pages whose
+    registrable domain is on a blocklist (RefinedWeb §3.1 used a
+    4.6M-entry URL blocklist) and/or whose text contains a banned phrase
+    (C4 §2.2's "bad words" rule).
+
+    ``blocked_domains``: a DataFrame with a ``domain`` column of
+    registrable domains, or a plain list of strings (lower-cased here).
+    Removal is a ``left_anti`` equi-join on
+    :func:`~feast_spark.operators.sampling.registrable_domain` —
+    broadcast by default (a few-million-row blocklist of short strings
+    is ~100 MB, well inside broadcast range); pass
+    ``broadcast_blocklist=False`` above that to let AQE pick a shuffle
+    join. Rows with a NULL/unparseable domain are KEPT by the domain
+    rule (anti-join null semantics) — an unparseable URL is not
+    evidence of a blocked site.
+
+    ``banned_phrases`` compile into ONE case-insensitive word-boundary
+    regex alternation — a single JVM ``rlike`` inside whole-stage
+    codegen, never per-phrase passes or Python. NULL text cannot match
+    and is kept.
+    """
+    import re as _re
+
+    out = df
+    if blocked_domains is not None:
+        from feast_spark.operators.sampling import registrable_domain
+
+        if isinstance(blocked_domains, DataFrame):
+            bl = blocked_domains.select(
+                F.lower(F.col("domain")).alias("__bld")
+            )
+        else:
+            bl = df.sparkSession.createDataFrame(
+                [(str(d).lower(),) for d in blocked_domains],
+                "__bld string",
+            )
+        if broadcast_blocklist:
+            bl = F.broadcast(bl)
+        out = (
+            out.withColumn("__dom", registrable_domain(url_col))
+            .join(bl, F.col("__dom") == F.col("__bld"), "left_anti")
+            .drop("__dom")
+        )
+    if banned_phrases:
+        pat = (
+            r"(?i)\b("
+            + "|".join(_re.escape(p) for p in banned_phrases)
+            + r")\b"
+        )
+        out = out.filter(
+            F.coalesce(~F.col(text_col).rlike(pat), F.lit(True))
+        )
+    return out
 
 
 # -------------------------------------------------------------- PII --------

@@ -350,3 +350,59 @@ def test_perplexity_lm_semantics(spark):
     nt = perplexity_buckets(docs, lm)  # exact equal-thirds path
     lab_nt = {r["doc_id"]: r["bucket"] for r in nt.collect()}
     assert lab_nt == want
+
+
+def test_blocklist_filter(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import blocklist_filter
+
+    rows = [
+        Row(doc_id=0, url="https://Spam.Example.COM/a", text="clean"),
+        Row(doc_id=1, url="https://ok.org/b", text="clean"),
+        Row(doc_id=2, url="https://ok.org/c", text="has ZZYZX inside"),
+        Row(doc_id=3, url="https://ok.org/d", text="zzyzxy superstring"),
+        Row(doc_id=4, url="not a url", text="clean"),          # NULL domain
+        Row(doc_id=5, url="https://ok.org/e", text=None),      # NULL text
+        Row(doc_id=6, url="https://www.sub.example.com/f", text="clean"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = blocklist_filter(
+        df, blocked_domains=["Example.COM"], banned_phrases=["zzyzx"]
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 0/6 blocked by domain (case + subdomain folded); 2 by phrase
+    # (case-insensitive); 3 kept (word boundary); 4/5 kept (NULL
+    # domain / NULL text never match)
+    assert kept == [1, 3, 4, 5]
+    # DataFrame blocklist variant, unbroadcast path: identical rows
+    bl = spark.createDataFrame([Row(domain="example.com")])
+    out2 = blocklist_filter(
+        df, blocked_domains=bl, banned_phrases=["zzyzx"],
+        broadcast_blocklist=False,
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == kept
+
+
+def test_normalize_text_semantics(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import normalize_text
+
+    rows = [
+        Row(i=0, t="éclair  au\tcafé"),  # decomposed accents
+        Row(i=1, t="  a\x01b\x1fc  "),               # control bytes
+        Row(i=2, t=None),
+        Row(i=3, t="already clean"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_text("t").alias("n")).collect()}
+    assert got[0] == "éclair au café"  # composed, one space
+    assert got[1] == "a b c"
+    assert got[2] is None
+    assert got[3] == "already clean"
+    # idempotent: normalizing a normalized string is the identity
+    again = {r["i"]: r["n2"] for r in df.select(
+        "i", normalize_text(normalize_text("t")).alias("n2")).collect()}
+    assert again == got

@@ -101,3 +101,60 @@ def test_pack_sequences_budget_and_coverage(spark):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert (a["pack_id"].values == b["pack_id"].values).all()
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    """Skewed synthetic crawl: one hot domain (60%), 7 tail domains,
+    a single-label host, and an unparseable URL (NULL domain)."""
+    rows = []
+    for i in range(400):
+        if i % 10 < 6:
+            url = f"https://Hot.Example.COM/p/{i}"
+        else:
+            url = f"https://www.Site{i % 7}.NET/d/{i}"
+        rows.append(Row(doc_id=i, url=url))
+    rows.append(Row(doc_id=400, url="http://localhost/x"))
+    rows.append(Row(doc_id=401, url="not a url at all"))
+    return spark.createDataFrame(rows).cache()
+
+
+def test_registrable_domain_parsing(spark, crawl):
+    from feast_spark.operators.sampling import registrable_domain
+
+    got = {
+        r["doc_id"]: r["d"]
+        for r in crawl.select(
+            "doc_id", registrable_domain("url").alias("d")
+        ).collect()
+    }
+    assert got[0] == "example.com"          # case + subdomain stripped
+    assert got[6] == "site6.net"            # www. stripped, lowered
+    assert got[400] == "localhost"          # single-label passthrough
+    assert got[401] is None                 # unparseable → NULL stratum
+
+
+def test_domain_quota_caps_hot_domain(spark, crawl):
+    from feast_spark.operators.sampling import domain_quota_sample
+
+    out = domain_quota_sample(
+        crawl, url_col="url", id_col="doc_id", quota=15
+    ).cache()
+    sizes = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes["example.com"] == 15       # 240 hot rows → capped
+    for k in range(7):                      # tails: min(quota, ~23)=15
+        assert sizes[f"site{k}.net"] == 15
+    assert sizes["localhost"] == 1          # n < quota kept whole
+    assert sizes[None] == 1                 # NULL stratum capped too
+    # threshold (default) and window strategies pick identical rows
+    w = domain_quota_sample(
+        crawl, url_col="url", id_col="doc_id", quota=15,
+        strategy="window",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in w.collect()
+    )
