@@ -548,6 +548,20 @@ class FeatureStore:
         job = MaterializeJob(self.spark, self.get_view(view_name), dest, **kw)
         return job.run(start, end)
 
+    def materialize_incremental(
+        self, view_name: str, end, dest: str, *, start_default=None, **kw
+    ):
+        """Upstream ``FeatureStore.materialize_incremental``: resume from
+        the store's last materialized end (lineage-tracked) up to
+        ``end``; no-op when already caught up. First run needs
+        ``start_default``."""
+        from feast_spark.materialize import materialize_incremental
+
+        return materialize_incremental(
+            self.spark, self.get_view(view_name), dest, end,
+            start_default=start_default, **kw,
+        )
+
     # -- push source --------------------------------------------------
     def push(
         self, store_path: str, df: DataFrame, *, ts_col: str = "warc_ts",

@@ -303,3 +303,23 @@ def test_entityless_global_view(spark, tmp_path_factory):
     )
     rows = read_online(spark, dest).collect()
     assert len(rows) == 1 and rows[0]["level"] == 20.0
+
+
+def test_store_materialize_incremental_method(spark, lstore, tmp_path_factory):
+    """FeatureStore.materialize_incremental (upstream API parity) is the
+    lineage-resuming twin of the module function."""
+    store, _root = lstore
+    dest = str(tmp_path_factory.mktemp("incrm") / "store")
+
+    def transform(df):
+        return df.select("url", "warc_ts", "n_chars")
+
+    s1 = store.materialize_incremental(
+        "pg", "2023-12-15", dest,
+        start_default="2023-11-01", bucket_batch=4, transform=transform,
+    )
+    assert s1["rows"] > 0
+    s2 = store.materialize_incremental(
+        "pg", "2023-12-15", dest, bucket_batch=4, transform=transform,
+    )
+    assert s2.get("caught_up") is True and s2["rows"] == 0
