@@ -1324,6 +1324,22 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_weighted_mix(spark, sf_dir):
+    """Pretraining source-mix resampling (operators.sampling
+    weighted_mix): src3 upsampled 2.5× (2 guaranteed epochs + a
+    hash-chosen half), src7 kept at 0.25, src11 dropped, everything else
+    1× — per-copy rows with epoch indices value-checked against the
+    oracle's generate_series reconstruction."""
+    from feast_spark.operators.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = weighted_mix(
+        d, source_col="source", id_col="doc_id",
+        weights={"src3": 2.5, "src7": 0.25, "src11": 0.0},
+    )
+    return out.select("doc_id", "source", "epoch")
+
+
 def q_layout_prune_scan(spark, sf_dir):
     """S2/S6 driver-verified: events → Iceberg-style layout (sorted files,
     manifest) → manifest-pruned read over a time range. The pruned scan +
@@ -2263,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "blocklist_filter": q_blocklist_filter,
         "normalize_text": q_normalize_text,
+        "weighted_mix": q_weighted_mix,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3521,6 +3538,27 @@ def _oracles() -> dict[str, str]:
                      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))
                    AS norm
             FROM documents
+        """,
+        "weighted_mix": """
+            WITH e AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src3' THEN 2.5
+                          WHEN 'src7' THEN 0.25
+                          WHEN 'src11' THEN 0.0 ELSE 1.0 END AS w
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                     CAST(floor(w) AS INT) +
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|42'),
+                                      1, 8)
+                               < printf('%08x', CAST(floor(
+                                   (w - floor(w)) * 4294967296.0) AS BIGINT))
+                          THEN 1 ELSE 0 END AS n
+              FROM e
+            )
+            SELECT doc_id, source, CAST(t.epoch AS INT) AS epoch
+            FROM n, LATERAL unnest(generate_series(0, n - 1)) AS t(epoch)
+            WHERE n > 0
         """,
         "validate_events": """
             SELECT 'row_count_min' AS kind, CAST(NULL AS VARCHAR) AS "column",

@@ -263,6 +263,70 @@ def domain_quota_sample(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    *,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic source-weighted resampling — the pretraining data-mix
+    step (LLaMA's per-source epoch counts; DoReMi's domain weights):
+    weight ``w`` for a source means every document of that source appears
+    ``floor(w)`` times, plus once more iff its portable hash falls under
+    ``frac(w)`` — so a 2.5× source yields exactly 2 or 3 copies per doc
+    with the fractional epoch a uniform-without-replacement subset,
+    reproducible on any cluster size / partitioning / retry. Weight 0
+    drops the source; sources absent from ``weights`` get
+    ``default_weight``.
+
+    Output adds ``epoch_col`` (0-based copy index) so downstream packing
+    or a hash-shuffle can interleave epochs instead of concatenating
+    them. Scale shape: the weight table compiles into ONE chained CASE
+    expression (no join, whole-stage codegen) and the copy fan-out is a
+    map-side ``explode`` — zero shuffles; output size is exactly
+    Σ_source w·n as the mix intends.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}")
+    if default_weight < 0:
+        raise ValueError("negative default_weight")
+
+    src = F.col(source_col)
+    w_expr: Column = F.lit(float(default_weight))
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(src == s, F.lit(float(w))).otherwise(w_expr)
+    base = F.floor(w_expr).cast("int")
+    frac = w_expr - F.floor(w_expr)
+    # same hex-prefix-vs-cut comparison as hash_split, but the cut is a
+    # per-row expression (frac varies by source); 16^8 buckets of the
+    # md5 prefix ≈ 2.3e-10 quantization, dwarfed by corpus variance
+    cut = F.lpad(
+        F.lower(F.conv(
+            F.floor(frac * F.lit(float(16**8))).cast("long").cast("string"),
+            10, 16,
+        )),
+        8, "0",
+    )
+    extra = (
+        F.substring(_hash_key(id_col, seed), 1, 8) < cut
+    ).cast("int")
+    n = (base + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n") - 1)),
+        )
+        .drop("__n")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -158,3 +158,36 @@ def test_domain_quota_caps_hot_domain(spark, crawl):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in w.collect()
     )
+
+
+def test_weighted_mix_epochs(spark):
+    from feast_spark.operators.sampling import weighted_mix
+
+    rows = [Row(doc_id=i, source=f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows)
+    out = weighted_mix(
+        df, source_col="source", id_col="doc_id",
+        weights={"s0": 2.5, "s1": 0.25, "s2": 0.0},
+    ).cache()
+    per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert "s2" not in per                      # weight 0 drops the source
+    assert per["s3"] == 100                     # default 1.0 → exactly 1 copy
+    assert 200 <= per["s0"] <= 300              # 2.5× → 2 or 3 copies each
+    assert 10 <= per["s1"] <= 45                # 0.25 of 100, hash-chosen
+    # integer part is guaranteed: every s0 doc appears at least twice
+    mins = out.filter(F.col("source") == "s0").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    assert mins.filter(F.col("c") < 2).count() == 0
+    # epochs are 0..n-1 per doc
+    eps = out.filter(F.col("source") == "s0").groupBy("doc_id").agg(
+        F.min("epoch").alias("lo"), F.max("epoch").alias("hi"),
+        F.count(F.lit(1)).alias("c"))
+    bad = eps.filter((F.col("lo") != 0) | (F.col("hi") != F.col("c") - 1))
+    assert bad.count() == 0
+    # deterministic under repartitioning
+    out2 = weighted_mix(
+        df.repartition(17), source_col="source", id_col="doc_id",
+        weights={"s0": 2.5, "s1": 0.25, "s2": 0.0},
+    )
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
