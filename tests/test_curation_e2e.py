@@ -2,10 +2,11 @@
 individually oracle-checked; this test pins that they COMPOSE — the flow
 a real user would run over 100 TB, exercised at test scale:
 
-raw docs → quality filter (Gopher rules) → PII redaction → exact dedup →
-cross-doc span dedup → near-dup clustering (keep one per cluster) →
-stratified sample per language → token-budget sequence packing →
-deterministic train/test split.
+raw docs → URL blocklist + banned phrases → per-domain quota →
+quality filter (Gopher rules) → PII redaction → normalize →
+exact dedup → cross-doc span dedup → near-dup clustering (keep one per
+cluster) → stratified sample per language → token-budget sequence
+packing → deterministic train/test split → source-weighted mix.
 """
 
 from __future__ import annotations
@@ -43,16 +44,68 @@ def raw_docs(spark):
         [Row(doc_id=40_000, text="a a a a", lang="en", source="web",
              n_chars=7)]  # fails Gopher min-length
     )
-    return base.unionByName(exact_copies).unionByName(near_dups) \
-        .unionByName(pii).unionByName(junk).cache()
+    # a 30-page mirror farm on one domain (domain quota's prey), one doc
+    # carrying a banned phrase, and a whitespace-variant of doc 0's text
+    # that only normalization makes exact-dedup-able
+    farm = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    banned = spark.createDataFrame(
+        [Row(doc_id=60_000, text="an otherwise fine page zzyzx " + "w " * 80,
+             lang="en", source="web", n_chars=100)]
+    )
+    ws_variant = base.filter(F.col("doc_id") == 0).select(
+        F.lit(70_000).cast("long").alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "  "),
+                 F.lit("\t")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    docs = (
+        base.unionByName(exact_copies).unionByName(near_dups)
+        .unionByName(pii).unionByName(junk).unionByName(farm)
+        .unionByName(banned).unionByName(ws_variant)
+    )
+    # crawl URLs: every doc its own domain except the mirror farm
+    return docs.withColumn(
+        "url",
+        F.when(
+            (F.col("doc_id") >= 50_000) & (F.col("doc_id") < 60_000),
+            F.concat(F.lit("https://Mirror.FARM/p/"), F.col("doc_id")),
+        ).otherwise(
+            F.concat(F.lit("https://site"), F.col("doc_id"),
+                     F.lit(".org/p/"), F.col("doc_id"))
+        ),
+    ).cache()
 
 
 def test_full_curation_pipeline(spark, raw_docs):
+    from feast_spark.operators.sampling import domain_quota_sample, weighted_mix
+    from feast_spark.operators.text import blocklist_filter, normalize_text
+
     n0 = raw_docs.count()
 
+    # 0a. URL blocklist + banned phrases (crawl-level)
+    unblocked = blocklist_filter(
+        raw_docs, blocked_domains=["blocked.example"],
+        banned_phrases=["zzyzx"],
+    )
+    assert unblocked.filter(F.col("doc_id") == 60_000).count() == 0
+    assert unblocked.count() == n0 - 1
+
+    # 0b. per-domain quota: the 30-page mirror farm collapses to 5;
+    # every other domain has one page and is untouched
+    quotad = domain_quota_sample(
+        unblocked, url_col="url", id_col="doc_id", quota=5
+    ).drop("domain", "url")
+    assert quotad.filter(
+        (F.col("doc_id") >= 50_000) & (F.col("doc_id") < 60_000)
+    ).count() == 5
+    assert quotad.count() == unblocked.count() - 25
+
     # 1. quality filter (Gopher rules)
-    flagged = gopher_quality_features(raw_docs, text_col="text")
-    clean = flagged.filter(F.col("gopher_keep")).select(*raw_docs.columns)
+    flagged = gopher_quality_features(quotad, text_col="text")
+    clean = flagged.filter(F.col("gopher_keep")).select(*quotad.columns)
     n1 = clean.count()
     assert n1 < n0  # the junk doc (at least) dropped
     assert clean.filter(F.col("doc_id") == 40_000).count() == 0
@@ -66,10 +119,19 @@ def test_full_curation_pipeline(spark, raw_docs):
     assert leaked.count() == 0
     assert redacted.count() == n1  # redaction never drops rows
 
-    # 3. exact dedup on text
-    exact = exact_dedup(redacted, ["text"])
+    # 2b. normalize before hashing: the whitespace variant of doc 0
+    # becomes byte-identical to it
+    normed = redacted.withColumn("text", normalize_text("text"))
+    assert normed.count() == n1
+
+    # 3. exact dedup on normalized text: 5 planted exact copies AND the
+    # normalize-exposed variant collapse
+    exact = exact_dedup(normed, ["text"])
     n3 = exact.count()
-    assert n3 <= n1 - 5  # the 5 planted exact copies collapse
+    assert n3 <= n1 - 6
+    merged = normed.count() - normed.dropDuplicates(["text"]).count()
+    pre_norm = redacted.count() - redacted.dropDuplicates(["text"]).count()
+    assert merged == pre_norm + 1  # exactly one extra merge from normalize
 
     # 4. cross-doc span dedup (keep docs, count surviving spans)
     spans_kept = dedup_spans(exact, span_tokens=20, rebuild=True)
@@ -85,8 +147,12 @@ def test_full_curation_pipeline(spark, raw_docs):
     assert n5 < n3  # planted near-dups collapsed
     # the planted near-dup clones collapse (originals = smaller ids =
     # keepers); allow one stray for a very short doc whose one-token
-    # mutation drops Jaccard below threshold
-    assert survivors.filter(F.col("doc_id") >= 20_000).count() <= 1
+    # mutation drops Jaccard below threshold. (Band-limited to the clone
+    # ids: exact dedup may legitimately keep a farm COPY of an original
+    # — identical text, arbitrary keeper — so ≥50k ids can survive.)
+    assert survivors.filter(
+        (F.col("doc_id") >= 20_000) & (F.col("doc_id") < 30_000)
+    ).count() <= 1
 
     # 6. stratified sample per language (deterministic)
     sampled = stratified_sample(
@@ -114,6 +180,16 @@ def test_full_curation_pipeline(spark, raw_docs):
     split = hash_split(sampled, id_col="doc_id", test_frac=0.2)
     assert split.filter(F.col("split") == "test").count() > 0
     assert split.count() == sampled.count()
+
+    # 9. source-weighted mix over the training split: 2× one source,
+    # exact expected cardinality (integer weights are deterministic)
+    train = split.filter(F.col("split") == "train").cache()
+    mixed = weighted_mix(
+        train, source_col="source", id_col="doc_id",
+        weights={"src0": 2.0},
+    )
+    n_src0 = train.filter(F.col("source") == "src0").count()
+    assert mixed.count() == train.count() + n_src0
 
 
 def test_daily_append_curation_pipeline(spark, tmp_path):
