@@ -26,9 +26,24 @@ explicit count only when the caller opted in.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 _FOOTER_SAMPLE = 32
+# Plan nodes whose output row count is NOT bounded by the sum of their
+# inputs' rows (Join/Generate/Expand multiply; the Python-eval nodes and
+# Union hide arbitrary or non-file children). Footer sums and
+# sizeInBytes/row-width are only upper bounds for linear plans
+# (scan/filter/project/aggregate/window), so any of these in the
+# optimized plan disqualifies sources 2 and 3 — estimate_rows returns
+# None and callers take the unbounded-safe strategy. Word-bounded match
+# against the plan tree string; a false positive (e.g. a column literally
+# named "Join") only errs in the safe direction.
+_FANOUT_NODES = re.compile(
+    r"\b(Join|Generate|Expand|CoGroup|FlatMap\w*|MapInPandas|"
+    r"PythonMapInArrow|MapPartitions|MapElements|Union)\b"
+)
 # conservative in-memory bytes per value by Spark type (used only to
 # turn sizeInBytes into a row-count order of magnitude)
 _TYPE_WIDTH = {
@@ -63,11 +78,21 @@ def estimate_rows(df: DataFrame) -> int | None:
     the plan is usable (e.g. Arrow/RDD-backed data, whose Catalyst
     stats are a MaxValue sentinel)."""
     try:
-        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        plan = df._jdf.queryExecution().optimizedPlan()
+        mr = plan.maxRows()
         if mr.isDefined():
             return int(mr.get())
     except Exception:
-        pass
+        return None
+    # Past this point estimates derive from the LEAVES (file footers /
+    # total byte size), which only upper-bound the output of linear
+    # plans. A join/explode/Python-eval node can fan one input row out
+    # to millions — give up rather than report a bound that isn't one.
+    try:
+        if _FANOUT_NODES.search(plan.toString()):
+            return None
+    except Exception:
+        return None
     files = [f for f in df.inputFiles() if f.endswith(".parquet")]
     if files:
         try:

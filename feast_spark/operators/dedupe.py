@@ -191,32 +191,23 @@ def build_minhash_index(
 
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into bands evenly")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(
-        corpus, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_k=shingle_k,
-    )
-    keyed = sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
-        F.posexplode(_band_key_array(bands, rows_per_band)).alias(
-            "band_id", "band_key"
-        ),
-        F.lit(build_ts).cast("timestamp").alias("__ats"),
+    cfg = {
+        "id_col": id_col, "text_col": text_col,
+        "num_hashes": num_hashes, "bands": bands,
+        "shingle_k": shingle_k, "n_buckets": n_buckets,
+    }
+    # the build rows go through the SAME projection helper the
+    # incremental paths use — one definition of the band-row shape, so
+    # index and query rows cannot drift (r04 review)
+    keyed = _minhash_band_rows(corpus, cfg).withColumn(
+        "__ats", F.lit(build_ts).cast("timestamp")
     )
     snap = write_table(
         keyed, root, key_col="band_key", ts_col="__ats",
         n_buckets=n_buckets, dt_granularity="month",
     )
     get_io().write_atomic(
-        _os.path.join(root, "_minhash.json"),
-        _json.dumps(
-            {
-                "id_col": id_col, "text_col": text_col,
-                "num_hashes": num_hashes, "bands": bands,
-                "shingle_k": shingle_k, "n_buckets": n_buckets,
-            }
-        ),
+        _os.path.join(root, "_minhash.json"), _json.dumps(cfg)
     )
     return snap
 
@@ -589,9 +580,16 @@ def simhash_near_dup_pairs(
     for t, combo in enumerate(
         combinations(range(n_blocks), n_blocks - max_hamming)
     ):
+        # pack with shift+OR, NOT multiply+add: when the chosen blocks
+        # total 64 bits (max_hamming=0 → combo = every block), the
+        # arithmetic form overflows signed long and Spark 4's default
+        # ANSI mode throws ARITHMETIC_OVERFLOW (r04 review). shiftleft
+        # is pure bit movement — no overflow semantics — and OR equals
+        # add here because the shifted key's low bits are zero; packing
+        # stays injective for ≤64 total bits.
         key = F.lit(0).cast("long")
         for i in combo:
-            key = key * F.lit(1 << bounds[i][1]) + _block(i)
+            key = F.shiftleft(key, bounds[i][1]).bitwiseOR(_block(i))
         tables.append(F.struct(F.lit(t).alias("t"), key.alias("c")))
     chunks = F.array(*tables)
     buckets = sig.select(F.col(id_col), "__sig", F.explode(chunks).alias("ch"))

@@ -36,6 +36,23 @@ def _hash_key(id_col: str | Column, seed: int) -> Column:
     return F.md5(F.concat_ws("|", c.cast("string"), F.lit(str(seed))))
 
 
+def _hex_cut(frac: Column) -> Column:
+    """8-hex-digit survival cut: rows whose first 8 md5 hex chars
+    compare < this survive with probability ≈ ``frac``. conv() emits
+    UPPERCASE hex while md5() is lowercase — the lower() is load-bearing
+    for the lexicographic compare ('a' > 'F'). Callers must handle the
+    frac ≥ 1.0 edge themselves (the cut would need 9 digits)."""
+    return F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(frac * F.lit(float(16**8))).cast("long").cast("string"),
+                10, 16,
+            )
+        ),
+        8, "0",
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     *,
@@ -88,21 +105,18 @@ def stratified_sample(
     frac = F.least(
         F.lit(1.0), F.lit(float(oversample) * k) / F.col("__n")
     )
-    # conv() emits uppercase hex; md5() is lowercase — normalize or the
-    # lexicographic compare breaks ('a' > 'F')
-    cut = F.lpad(
-        F.lower(
-            F.conv(
-                F.floor(frac * F.lit(float(16**8))).cast("long").cast("string"),
-                10, 16,
-            )
-        ),
-        8, "0",
-    )
+    cut = _hex_cut(frac)
     # eqNullSafe: a NULL stratum must survive the prefilter join too —
     # the window strategy samples it, so both strategies must agree on
-    # nullable group columns (ADVICE r03 low)
-    cdf = F.broadcast(counts.withColumnRenamed(group_col, "__g"))
+    # nullable group columns (ADVICE r03 low).
+    # NO forced broadcast (r04 review): stratum cardinality is
+    # data-dependent — domain_quota_sample feeds tens of millions of
+    # registrable domains at crawl scale, several GB as a broadcast.
+    # AQE sees counts' ACTUAL post-aggregation size at runtime and
+    # converts to broadcast when it fits the threshold; when it doesn't,
+    # the shuffle join co-partitions on the stratum key, which the
+    # per-stratum window below reuses anyway.
+    cdf = counts.withColumnRenamed(group_col, "__g")
     joined = hashed.join(
         cdf, F.col(group_col).eqNullSafe(F.col("__g"))
     ).drop("__g")
@@ -213,7 +227,17 @@ def registrable_domain(url_col: str | Column) -> Column:
     always contains malformed URLs; a throwing parse would kill the
     whole job for one bad row)."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    # strip trailing dot(s): 'example.com.' is a legal FQDN spelling of
+    # 'example.com' and real crawls contain both — without this, the
+    # two-label regex can't match a dot-final host, the whole host falls
+    # through, and a blocklisted/quota'd domain escapes under its FQDN
+    # alias (r04 review). An all-dots host normalizes to NULL.
+    host = F.nullif(
+        F.regexp_replace(
+            F.lower(F.try_parse_url(c, F.lit("HOST"))), r"\.+$", ""
+        ),
+        F.lit(""),
+    )
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(host.isNull(), F.lit(None)).otherwise(
         F.when(two == "", host).otherwise(two)
@@ -304,14 +328,10 @@ def weighted_mix(
     frac = w_expr - F.floor(w_expr)
     # same hex-prefix-vs-cut comparison as hash_split, but the cut is a
     # per-row expression (frac varies by source); 16^8 buckets of the
-    # md5 prefix ≈ 2.3e-10 quantization, dwarfed by corpus variance
-    cut = F.lpad(
-        F.lower(F.conv(
-            F.floor(frac * F.lit(float(16**8))).cast("long").cast("string"),
-            10, 16,
-        )),
-        8, "0",
-    )
+    # md5 prefix ≈ 2.3e-10 quantization, dwarfed by corpus variance.
+    # frac is always < 1.0 here (w − floor(w)), so _hex_cut's 8-digit
+    # domain holds.
+    cut = _hex_cut(frac)
     extra = (
         F.substring(_hash_key(id_col, seed), 1, 8) < cut
     ).cast("int")

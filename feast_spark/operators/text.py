@@ -544,11 +544,23 @@ def blocklist_filter(
             .drop("__dom")
         )
     if banned_phrases:
-        pat = (
-            r"(?i)\b("
-            + "|".join(_re.escape(p) for p in banned_phrases)
-            + r")\b"
-        )
+        # per-phrase CONDITIONAL word boundaries (r04 review): \b is
+        # defined relative to a word char, so a phrase whose edge is
+        # punctuation ('f***', '$$$ offer' — real bad-word lists are
+        # full of these) can never satisfy an unconditional \b and the
+        # filter is silently inert for it. Attach \b only to an edge
+        # that is itself a word char; a punctuation edge matches
+        # anywhere adjacent, which is the strictest boundary that can
+        # exist there.
+        def _phrase(p: str) -> str:
+            left = r"\b" if _re.match(r"\w", p) else ""
+            right = r"\b" if _re.search(r"\w\Z", p) else ""
+            return left + _re.escape(p) + right
+
+        parts = [_phrase(p) for p in banned_phrases if p]
+        if len(parts) < len(banned_phrases):
+            raise ValueError("banned_phrases contains an empty phrase")
+        pat = "(?i)(?:" + "|".join(parts) + ")"
         out = out.filter(
             F.coalesce(~F.col(text_col).rlike(pat), F.lit(True))
         )

@@ -42,10 +42,12 @@ BUCKET_PRUNE_PROBE_ROWS = 10_000
 COGROUP_BUCKET_BYTES = 256 << 20
 
 # a single entity key with ≥ this many feature rows (manifest lower
-# bound) routes an auto-chosen union plan to cogroup: the union window's
-# partitionBy(key) sort concentrates the hot key in one JVM sort task,
-# while cogroup's per-bucket merge_asof is a linear vectorized merge with
-# no sort-spill (SURVEY §4.2.2)
+# bound) flips ANY auto-chosen plan to the time-sliced strategy: union's
+# partitionBy(key) window makes the hot key one giant JVM sort task,
+# broadcast fans out hot_rows × probes-of-that-key, and cogroup hashes
+# the whole key into ONE pandas bucket no matter how large B grows —
+# only slicing the hot key's TIMELINE bounds the per-task work
+# (SURVEY §4.2.2)
 HOT_KEY_MIN_ROWS = 1_000_000
 
 
@@ -133,14 +135,17 @@ def plan_retrieval(
             entity_df, probe_n, layout_backed=fv.layout_root is not None
         )
         hot_keys: list = []
-        if strategy is None and chosen != "cogroup" and snap is not None:
+        if strategy is None and snap is not None:
             # skew probe (SURVEY §4.2.2): manifest stats are already on
             # the driver — zero extra scans. A hot entity key makes the
-            # union window's partitionBy(key) one giant sort task and
-            # blows up broadcast's range-join fanout (hot_rows × probes
-            # of that key). The sliced strategy partitions the hot key's
-            # TIMELINE, the only bound that holds when one key exceeds a
-            # task (r02 review; cogroup/salting only bound aggregates).
+            # union window's partitionBy(key) one giant sort task, blows
+            # up broadcast's range-join fanout (hot_rows × probes of
+            # that key), and lands in ONE cogroup pandas bucket however
+            # large B grows (same hash → same bucket). The sliced
+            # strategy partitions the hot key's TIMELINE, the only bound
+            # that holds when one key exceeds a task (r02 review;
+            # cogroup/salting only bound aggregates) — so the probe runs
+            # for every auto-chosen strategy, cogroup included.
             from feast_spark.operators.skew import detect_hot_keys_from_manifest
 
             hot_keys = detect_hot_keys_from_manifest(

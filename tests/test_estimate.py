@@ -46,6 +46,19 @@ def test_estimate_exact_for_plan_bounded_inputs(spark):
     assert estimate_rows(spark.range(10).limit(3)) == 3
 
 
+def test_estimate_none_for_fanout_plans(spark, probes_df):
+    """r04 review: footer sums bound only LINEAR plans. A join or
+    explode can fan one input row out to millions, so the estimator
+    must refuse — not report the leaf-file sum as an 'upper bound'
+    that routes an unboundedly large probe set to broadcast."""
+    joined = probes_df.alias("a").join(probes_df.alias("b"), "url")
+    assert estimate_rows(joined) is None
+    exploded = probes_df.select(F.explode(F.split("url", "/")).alias("t"))
+    assert estimate_rows(exploded) is None
+    # linear shapes over the same scan still estimate
+    assert estimate_rows(probes_df.select("url")) is not None
+
+
 def test_estimate_none_for_arrow_local_data(spark):
     """Arrow createDataFrame → LogicalRDD: no maxRows, sentinel stats.
     The estimator must admit ignorance, not hallucinate a cardinality."""

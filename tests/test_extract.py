@@ -384,6 +384,35 @@ def test_blocklist_filter(spark):
     assert sorted(r["doc_id"] for r in out2.collect()) == kept
 
 
+def test_blocklist_punctuation_edged_phrases(spark):
+    """r04 review: \\b needs an adjacent word char, so an unconditional
+    \\b(...)\\b made every punctuation-edged phrase ('f***', '$$$ win')
+    silently inert. Boundaries are now attached per edge, only where a
+    word char makes one possible."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import blocklist_filter
+
+    rows = [
+        Row(doc_id=0, text="totally f*** here"),    # punct-final phrase
+        Row(doc_id=1, text="win $$$ now fast"),     # punct-initial phrase
+        Row(doc_id=2, text="fine text"),            # clean
+        Row(doc_id=3, text="suffix offer$$$ now"),  # '$$$ now' matches too
+        Row(doc_id=4, text="bad-word inside"),      # word-edged, bounded
+        Row(doc_id=5, text="notbad-wordy"),         # boundary still holds
+    ]
+    df = spark.createDataFrame(rows)
+    out = blocklist_filter(
+        df, text_col="text",
+        banned_phrases=["f***", "$$$ now", "bad-word"],
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 5]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty phrase"):
+        blocklist_filter(df, text_col="text", banned_phrases=["x", ""])
+
+
 def test_normalize_text_semantics(spark):
     from pyspark.sql import Row
 

@@ -104,6 +104,35 @@ class TestSimhashWideConfig:
         assert planted  # fixture sanity: some mutations stay within h=3
         assert planted <= key(wide)
 
+    def test_max_hamming_zero_exact_signature_match(self, spark, near_dup_docs):
+        """r04 review: max_hamming=0 makes every combo cover ALL blocks
+        (64-bit keys); the old multiply+add packing overflowed signed
+        long for any signature with the top bit set and Spark 4's
+        default ANSI mode threw ARITHMETIC_OVERFLOW. shift+OR packing
+        must return exactly the hamming-0 (identical-signature) pairs."""
+        got = simhash_near_dup_pairs(
+            near_dup_docs, max_hamming=0, n_blocks=4
+        ).toPandas()
+        sigs = {
+            r.doc_id: r.s
+            for r in near_dup_docs.select(
+                "doc_id", simhash64(F.col("text")).alias("s")
+            ).collect()
+        }
+        ids = sorted(sigs)
+        want = {
+            (a, b)
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1:]
+            if sigs[a] == sigs[b]
+        }
+        assert {(a, b) for a, b in zip(got.id_a, got.id_b)} == want
+        assert (got.hamming == 0).all()
+        # fixture sanity: some signature has the top bit set (negative
+        # as a signed long) — the exact overflow trigger — otherwise
+        # this test wouldn't have exercised the old failure
+        assert any(s < 0 for s in sigs.values())
+
     def test_corpus_count_hint_autosizes(self, spark, near_dup_docs):
         """A web-scale corpus_count hint must produce the same verified
         pairs through the auto-chosen wide config."""

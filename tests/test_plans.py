@@ -174,6 +174,17 @@ def test_hot_key_routes_to_sliced(spark, tmp_path_factory):
     )
     assert safe_dec[0]["strategy"] in ("cogroup", "union")
     assert safe.exceptAll(want).count() == 0 and want.exceptAll(safe).count() == 0
+    # r04 review: the hot-key manifest probe must fire even when the
+    # unhinted/unestimable default is cogroup — one hot key hashes into
+    # ONE pandas bucket regardless of B, so cogroup is NOT hot-key-safe
+    unhinted_hot: list = []
+    got2 = plan_retrieval(
+        store, probes, ["hotv:n_chars"],
+        hot_key_min_rows=100, decisions=unhinted_hot,
+    )
+    assert unhinted_hot[0]["strategy"] == "sliced"
+    assert "https://hot.example/" in unhinted_hot[0]["hot_keys"]
+    assert got2.exceptAll(want).count() == 0 and want.exceptAll(got2).count() == 0
 
 
 def test_cogroup_bucket_count_grows_with_data(spark, pages_df, tmp_path_factory):

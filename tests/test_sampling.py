@@ -132,6 +132,24 @@ def test_registrable_domain_parsing(spark, crawl):
     assert got[6] == "site6.net"            # www. stripped, lowered
     assert got[400] == "localhost"          # single-label passthrough
     assert got[401] is None                 # unparseable → NULL stratum
+    # r04 review: trailing-dot FQDN spellings fold into the same domain
+    # (else a blocklisted/quota'd site escapes under 'example.com.')
+    fqdn = spark.createDataFrame(
+        [
+            Row(doc_id=0, url="https://blocked.example.com./x"),
+            Row(doc_id=1, url="https://host./y"),
+            Row(doc_id=2, url="https://.../z"),
+        ]
+    )
+    got2 = {
+        r["doc_id"]: r["d"]
+        for r in fqdn.select(
+            "doc_id", registrable_domain("url").alias("d")
+        ).collect()
+    }
+    assert got2[0] == "example.com"
+    assert got2[1] == "host"
+    assert got2[2] is None
 
 
 def test_domain_quota_caps_hot_domain(spark, crawl):
