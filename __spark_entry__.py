@@ -1340,6 +1340,38 @@ def q_weighted_mix(spark, sf_dir):
     return out.select("doc_id", "source", "epoch")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed bag-of-words quality classifier
+    (operators/text.py hashed_bow_logit, Joulin et al. 2016 — the CCNet
+    / LLaMA Wikipedia-reference filter shape): per-token md5-bucket
+    weights averaged into a logit, keep ⇔ logit > 0. Dyadic demo
+    weights make the float exactly reproducible, so the oracle
+    value-checks the full hash→bucket→weight→average arithmetic."""
+    from feast_spark.operators.text import (
+        demo_quality_weights, hashed_bow_logit,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    logit = hashed_bow_logit(F.col("text"), demo_quality_weights(1024))
+    return d.select(
+        "doc_id",
+        (F.round(logit, 6) + F.lit(0.0)).alias("q_logit"),
+        (logit > 0).alias("keep"),
+    )
+
+
+def q_bloom_sketch(spark, sf_dir):
+    """Mergeable Bloom membership sketch (operators/sketches.py
+    bloom_sketch): the (word, bits) filter table over event user ids —
+    63-bit words, portable md5-prefix bit positions — reconstructed
+    bit-for-bit by the oracle. The per-batch persistable 'seen before'
+    screen that spares a join against the full corpus."""
+    from feast_spark.operators.sketches import bloom_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return bloom_sketch(ev, "user_id")
+
+
 def q_layout_prune_scan(spark, sf_dir):
     """S2/S6 driver-verified: events → Iceberg-style layout (sorted files,
     manifest) → manifest-pruned read over a time range. The pruned scan +
@@ -2356,6 +2388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "bpe_token_count": q_bpe_token_count,
         "dedup_spans": q_dedup_spans,
+        # -- NEW in round 4 (post-prefix: harness-verified this round,
+        # -- rotate into the sampled prefix next round)
+        "quality_classifier": q_quality_classifier,
+        "bloom_sketch": q_bloom_sketch,
         # dedup / similarity
         "dedup_exact": q_dedup_exact,
         "fingerprint_clusters": q_fingerprint_clusters,
@@ -3559,6 +3595,34 @@ def _oracles() -> dict[str, str]:
             SELECT doc_id, source, CAST(t.epoch AS INT) AS epoch
             FROM n, LATERAL unnest(generate_series(0, n - 1)) AS t(epoch)
             WHERE n > 0
+        """,
+        "quality_classifier": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(string_split(trim(lower(text)), ' '),
+                       tok -> CAST(('0x' || substr(md5(tok),1,8)) AS BIGINT)
+                              % 1024) AS bks
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(list_sum(list_transform(bks,
+                         b -> ((b * 2654435761 + 12345) % 33 - 16) / 16.0))
+                         / len(bks), 6) + 0.0 AS q_logit,
+                   list_sum(list_transform(bks,
+                         b -> ((b * 2654435761 + 12345) % 33 - 16) / 16.0))
+                         / len(bks) > 0 AS keep
+            FROM t
+        """,
+        "bloom_sketch": """
+            WITH pos AS (
+              SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+                           || '|42|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 258048 AS p
+              FROM events, LATERAL unnest(generate_series(0, 2)) AS t(i)
+            )
+            SELECT CAST(p // 63 AS INT) AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+            FROM pos GROUP BY 1
         """,
         "validate_events": """
             SELECT 'row_count_min' AS kind, CAST(NULL AS VARCHAR) AS "column",

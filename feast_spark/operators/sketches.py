@@ -65,6 +65,140 @@ def hll_union_rows(
     return rollup.groupBy(*(by or [])).agg(agg) if by else rollup.agg(agg)
 
 
+# ----------------------------------------------------------- Bloom ---------
+#
+# A distributed, mergeable Bloom filter as a (word, bits) DataFrame —
+# the membership companion to HLL (distinct) and Count-Min (frequency).
+# The pipeline use: build one sketch per ingested crawl batch, persist
+# the ~m/63-row table, then screen a NEW batch for "seen before" via one
+# bucket-local join instead of a join against the 10^12-row corpus
+# (false positives re-checked exactly; false negatives impossible).
+#
+# Bit positions come from the PORTABLE md5-prefix hash (the sampling
+# module's convention), not xxhash64, so an oracle engine (DuckDB) or a
+# non-Spark producer reconstructs the EXACT same table. Words hold 63
+# bits, not 64: a set bit 63 needs 1<<63, which overflows signed
+# BIGINT in DuckDB and goes negative in Spark — 63 keeps every mask
+# positive and the table portable.
+
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(c: Column, m_bits: int, k: int, seed: int) -> Column:
+    """Array of ``k`` bit positions in [0, m_bits) for one value —
+    independent draws via md5(value|seed|i)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", c.cast("string"), F.lit(str(seed)),
+                        i.cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(m_bits),
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 63 * 4096,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the Bloom sketch of ``col``: a DataFrame (word int,
+    bits long) with one row per 63-bit word that has any bit set —
+    sparse, so an underfilled filter costs less than m/63 rows.
+
+    ONE map-side-combinable shuffle of ≤ m/63 groups (bit_or partials
+    combine on the map side); the corpus itself is never shuffled.
+    Merging sketches built with the same (m_bits, k, seed) is
+    ``bloom_merge`` — bit_or is associative/commutative/idempotent, so
+    the merge EXACTLY equals single-pass construction over the unioned
+    rows (tests pin this), the same property the HLL rollup leans on.
+
+    Size m_bits for the false-positive budget: fp ≈ (1-e^{-kn/m})^k;
+    the classic m ≈ 1.44·k·n/ln2 bits for the optimum. At n=10^9 keys,
+    k=3, fp≈1%: m ≈ 10^10 bits ≈ 19 MB of (word, bits) rows — a small
+    table, broadcastable to probes."""
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(col), m_bits, k, seed)).alias("__p")
+    )
+    return (
+        pos.select(
+            (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+            # pyspark's F.shiftleft only takes a Python-int bit count;
+            # the SQL form shifts by a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union Bloom sketches built with identical (m_bits, k, seed):
+    bit_or per word. Exactly equals building over the unioned inputs."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 63 * 4096,
+    k: int = 3,
+    seed: int = 42,
+    out: str = "contained",
+) -> DataFrame:
+    """Membership screen: one row per DISTINCT probe value with
+    ``out`` = true iff every one of its k bits is set. No false
+    negatives; false-positive rows are the caller's to re-check exactly
+    (that re-check touches only the screened-in sliver, which is the
+    whole point at corpus scale). The sketch side is broadcast — it is
+    at most m/63 rows by construction."""
+    vals = probes.select(F.col(col)).where(F.col(col).isNotNull()).distinct()
+    pos = vals.select(
+        col,
+        F.explode(_bloom_positions(F.col(col), m_bits, k, seed)).alias("__p"),
+    ).select(
+        col,
+        (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(__p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("__m"),
+    )
+    hit = (
+        pos.join(F.broadcast(sketch), "word", "left")
+        .withColumn(
+            "__ok",
+            F.coalesce(
+                F.col("bits").bitwiseAND(F.col("__m")) == F.col("__m"),
+                F.lit(False),
+            ),
+        )
+        .groupBy(col)
+        .agg(F.bool_and("__ok").alias(out))
+    )
+    return hit
+
+
 def freq_sketch(
     df: DataFrame,
     col: str,

@@ -460,6 +460,71 @@ def repetition_stats(
     )
 
 
+# --------------------------------------------- quality classifier ----------
+
+
+def hashed_bow_logit(
+    col: str | Column,
+    weights: "list[float]",
+    *,
+    seed_salt: str | None = None,
+) -> Column:
+    """fastText-style hashed bag-of-words linear classifier logit
+    (Joulin et al. 2016 — the model family CCNet and LLaMA's pipeline
+    use for Wikipedia-reference quality filtering): tokenize, hash each
+    token into ``len(weights)`` buckets, average the bucket weights.
+    ``logit > 0`` ⇔ P(keep) > 0.5 under the logistic link, so callers
+    filter on the logit directly and never need ``exp`` (whose last-ulp
+    behavior differs across engines — this keeps the score
+    oracle-checkable bit-for-bit when weights are dyadic rationals).
+
+    Pure JVM expressions, zero shuffle: split → per-token md5-prefix
+    bucket → ``F.aggregate`` weight sum over the token array → divide by
+    token count. The bucket hash is the PORTABLE md5 prefix (same string
+    in Spark/DuckDB/Python — the sampling-module convention), not
+    xxhash64, so an external trainer can produce the weight table
+    without running Spark. The weight vector ships as ONE array literal
+    — fine to ~10^5 buckets (the similarity module's plane-matrix
+    pattern); a full 10^6-bucket production model would instead join a
+    broadcast (bucket → weight) table on the exploded tokens and
+    re-aggregate, trading one map-side-combinable shuffle for plan size.
+
+    Tokenization is single-space split over trimmed lowercase text —
+    deliberately the simplest rule two engines can reproduce exactly.
+    NULL text → NULL logit. ``seed_salt`` lets disjoint models decorrelate
+    their bucket spaces.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    dim = len(weights)
+    if dim <= 0:
+        raise ValueError("weights must be non-empty")
+    wlit = F.array(*[F.lit(float(w)) for w in weights])
+    toks = F.split(F.trim(F.lower(c)), " ")
+
+    def bucket(t: Column) -> Column:
+        h = t if seed_salt is None else F.concat(t, F.lit(seed_salt))
+        return (
+            F.conv(F.substring(F.md5(h), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        ).cast("int")
+
+    z = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(wlit, bucket(t) + F.lit(1)),
+    )
+    return z / F.size(toks)
+
+
+def demo_quality_weights(dim: int = 1024) -> "list[float]":
+    """Deterministic stand-in weight table for the hashed classifier —
+    sixteenths (dyadic rationals), so any summation order produces the
+    EXACT same float and the logit is reproducible bit-for-bit across
+    engines and partitionings. A real model's trained weights drop in
+    unchanged; only the exact-reproducibility property is synthetic."""
+    return [((b * 2654435761 + 12345) % 33 - 16) / 16.0 for b in range(dim)]
+
+
 # -------------------------------------------------------------- URL --------
 
 _TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)="

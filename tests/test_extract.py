@@ -435,3 +435,50 @@ def test_normalize_text_semantics(spark):
     again = {r["i"]: r["n2"] for r in df.select(
         "i", normalize_text(normalize_text("t")).alias("n2")).collect()}
     assert again == got
+
+
+def test_hashed_bow_logit_exact_reference(spark):
+    """fastText-style hashed BoW classifier: the Spark logit must equal
+    a pure-Python reference EXACTLY (dyadic weights make the sum
+    order-independent), including whitespace, unicode, empty and NULL
+    edges — bit-for-bit reproducibility is the operator's contract."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import (
+        demo_quality_weights, hashed_bow_logit,
+    )
+
+    w = demo_quality_weights(64)
+    docs = [
+        "the quick brown fox",
+        "  Spaced   TEXT here ",   # trim + lower + interior empties
+        "único crème naïve",       # utf-8 tokens hash over their bytes
+        "",                        # one empty token after split
+    ]
+    rows = [Row(i=i, t=t) for i, t in enumerate(docs)] + [Row(i=99, t=None)]
+    df = spark.createDataFrame(rows, "i int, t string")
+    got = {
+        r["i"]: r["z"]
+        for r in df.select(
+            "i", hashed_bow_logit("t", w).alias("z")
+        ).collect()
+    }
+
+    def ref(t):
+        toks = t.strip().lower().split(" ")
+        s = 0.0
+        for tok in toks:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % len(w)
+            s += w[b]
+        return s / len(toks)
+
+    for i, t in enumerate(docs):
+        assert got[i] == ref(t), (i, got[i], ref(t))
+    assert got[99] is None
+    # keep-decision threshold is on the logit, no exp anywhere
+    kept = df.select(
+        "i", (hashed_bow_logit("t", w) > 0).alias("keep")
+    ).collect()
+    assert {r["i"]: r["keep"] for r in kept}[99] is None

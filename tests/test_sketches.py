@@ -74,3 +74,68 @@ def test_count_min_heavy_hitters(spark, events):
     for k, n in exact.items():
         est = cms.estimateCount(k)
         assert n <= est <= n * 1.05, (k, n, est)
+
+
+# ----------------------------------------------------------- Bloom ---------
+
+
+@pytest.fixture(scope="module")
+def bloom_parts(spark, events):
+    """Two disjoint halves of the event users, for merge-equality."""
+    a = events.filter(F.col("user_id") % 2 == 0)
+    b = events.filter(F.col("user_id") % 2 == 1)
+    return a, b
+
+
+def test_bloom_no_false_negatives(spark, events):
+    from feast_spark.operators.sketches import bloom_contains, bloom_sketch
+
+    sk = bloom_sketch(events, "user_id").cache()
+    got = bloom_contains(sk, events, "user_id")
+    n_vals = events.select("user_id").distinct().count()
+    hits = got.filter(F.col("contained")).count()
+    assert hits == n_vals  # every inserted key screens in, no exception
+
+
+def test_bloom_false_positive_rate_bounded(spark, events):
+    from feast_spark.operators.sketches import bloom_contains, bloom_sketch
+
+    sk = bloom_sketch(events, "user_id")
+    # probe keys guaranteed absent (user ids are small positive ints)
+    absent = spark.range(1_000_000, 1_002_000).select(
+        F.col("id").alias("user_id")
+    )
+    fp = (
+        bloom_contains(sk, absent, "user_id")
+        .filter(F.col("contained"))
+        .count()
+    )
+    # m=63*4096 ≈ 258k bits, k=3, n≈1.5k users → fp ≈ (kn/m)^k ~ 1e-5;
+    # allow two orders of slack for hash variance
+    assert fp / 2000 < 0.01, fp
+
+
+def test_bloom_merge_equals_single_pass(spark, events, bloom_parts):
+    """bit_or is associative/commutative/idempotent: the merged sketch
+    table must be ROW-IDENTICAL to single-pass construction — the
+    property that makes per-batch persisted sketches sound."""
+    from feast_spark.operators.sketches import bloom_merge, bloom_sketch
+
+    a, b = bloom_parts
+    merged = bloom_merge(bloom_sketch(a, "user_id"), bloom_sketch(b, "user_id"))
+    single = bloom_sketch(events, "user_id")
+    assert merged.exceptAll(single).count() == 0
+    assert single.exceptAll(merged).count() == 0
+
+
+def test_bloom_word_width_is_shift_safe(spark):
+    """Every mask must stay a POSITIVE long (63-bit words): bit 63 would
+    overflow DuckDB's BIGINT shift and go negative in Spark, breaking
+    oracle portability."""
+    from feast_spark.operators.sketches import bloom_sketch
+
+    df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+    sk = bloom_sketch(df, "v", m_bits=63 * 64)  # dense small filter
+    rows = sk.collect()
+    assert rows and all(r["bits"] > 0 for r in rows)
+    assert all(0 <= r["word"] < 64 for r in rows)
