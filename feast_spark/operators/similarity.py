@@ -12,6 +12,7 @@ from __future__ import annotations
 import logging
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -433,6 +434,331 @@ def ann_index_topk(
             F.col(id_col),
             cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _centroid_scores_udf(centroids: np.ndarray):
+    """Arrow-batched kernel factory: batch (rows × dim) @ centroidsᵀ.
+
+    The centroid matrix rides the UDF closure (≤ nlist×dim floats — it
+    must fit in executor memory by construction, the same object a
+    driver-side broadcast would ship). One numpy matmul per Arrow batch;
+    no per-row Python (binding rule)."""
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def scores(v: pd.Series) -> np.ndarray:
+        x = np.vstack(v.to_numpy())
+        return x.astype("float64") @ cnorm.T
+
+    return scores
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row (cosine argmax — centroid norms
+    are divided out, so raw dot against normalized centroids suffices)."""
+    scores = _centroid_scores_udf(centroids)
+
+    @F.pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        return pd.Series(np.argmax(scores(v), axis=1).astype("int32"))
+
+    return df.withColumn(out_col, cell(F.col(vec_col)))
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    train_per_cell: int = 64,
+    corpus_count: int | None = None,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF (Lloyd iterations over
+    a deterministic training sample — the faiss recipe: train on
+    ~train_per_cell·nlist points, not the corpus).
+
+    Deterministic end-to-end (retry-safe, no ``rand()``): the training
+    sample is the ``train_per_cell·nlist`` smallest ``md5(id|seed)``
+    ranks — a hash-threshold filter when ``corpus_count`` is supplied (a
+    manifest stat; zero extra jobs, no global sort), else orderBy+limit
+    (TakeOrderedAndProject — fine at the scale where counting is free).
+    Init = first ``nlist`` sample rows by rank. Each Lloyd step is one
+    distributed pass: Arrow-batched argmax assignment, then
+    posexplode → groupBy(cell, pos) mean — the only collect is the
+    nlist×dim centroid matrix itself, which must fit on the driver by
+    construction (it ships inside the assignment UDF). Empty cells keep
+    their previous centroid. Float summation order may differ across
+    runs (Spark avg); with a sane nlist the argmax is insensitive."""
+    from feast_spark.operators.sampling import _hash_key
+
+    train_n = train_per_cell * nlist
+    ranked = corpus.select(
+        F.col(vec_col).alias("__v"), _hash_key(F.col(id_col), seed).alias("__r")
+    )
+    if corpus_count is not None and corpus_count > 0:
+        frac = min(1.0, (4.0 * train_n) / corpus_count)
+        cut = format(int(frac * 0xFFFFFFFF), "08x")
+        samp = ranked.filter(F.substring("__r", 1, 8) <= cut)
+        samp = samp.orderBy("__r").limit(train_n)
+    else:
+        samp = ranked.orderBy("__r").limit(train_n)
+    samp = samp.persist()
+    init = samp.orderBy("__r").limit(nlist).select("__v").collect()
+    if len(init) < nlist:
+        raise ValueError(
+            f"IVF training needs >= nlist={nlist} rows, got {len(init)}"
+        )
+    cent = np.vstack([np.asarray(r["__v"], dtype="float64") for r in init])
+    for _ in range(max(0, iters)):
+        scores = _centroid_scores_udf(cent)
+
+        @F.pandas_udf("int")
+        def cell(v: pd.Series) -> pd.Series:
+            return pd.Series(np.argmax(scores(v), axis=1).astype("int32"))
+
+        sums = (
+            samp.select(cell(F.col("__v")).alias("__c"), F.posexplode("__v"))
+            .groupBy("__c", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()
+        seen = set()
+        for r in sums:
+            nxt[r["__c"], r["pos"]] = r["m"]
+            seen.add(r["__c"])
+        for c in seen:
+            n = np.linalg.norm(nxt[c])
+            if n > 1e-12:
+                nxt[c] /= n
+        cent = nxt
+    samp.unpersist()
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    iters: int = 3,
+    corpus_count: int | None = None,
+    seed: int = 42,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """IVF approximate top-k (the task spec's second ANN scale path,
+    alongside hyperplane LSH): a trained coarse quantizer partitions the
+    corpus into ``nlist`` cells; each query probes its ``nprobe``
+    nearest cells and ranks ONLY those candidates by exact cosine.
+
+    Scale shape: training touches a bounded sample; serving is ONE
+    corpus scan for cell assignment and one equi-join on the cell id —
+    candidates per query ≈ nprobe/nlist of the corpus instead of all of
+    it, and unlike multi-table LSH the corpus is never replicated
+    (each row lives in exactly one cell, so no candidate dedup shuffle).
+    Recall knob = nprobe; cell-size knob = nlist (faiss guidance:
+    nlist ≈ sqrt(N), nprobe ≈ nlist/16). The query side broadcasts
+    below ``broadcast_threshold`` rows (zero-job footer estimate, same
+    policy as ``lsh_topk``); bigger batches shuffle on the cell id."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
+            iters=iters, corpus_count=corpus_count, seed=seed,
+        )
+    nprobe = min(nprobe, centroids.shape[0])
+    c = ivf_assign(corpus, centroids, vec_col=vec_col).select(
+        F.col("__cell"), F.col(id_col), F.col(vec_col)
+    )
+    scores = _centroid_scores_udf(centroids)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        s = scores(v)
+        part = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
+        # order probes best-first (stable output for tests/debugging)
+        rows = np.arange(s.shape[0])[:, None]
+        order = np.argsort(-s[rows, part], axis=1)
+        return pd.Series(list(part[rows, order].astype("int32")))
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell"),
+    )
+    from feast_spark.estimate import estimate_rows
+
+    n_q = estimate_rows(queries)
+    q_side = (
+        F.broadcast(q) if n_q is not None and n_q <= broadcast_threshold else q
+    )
+    cand = c.join(q_side, "__cell").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    root: str,
+    *,
+    dim: int,
+    nlist: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    corpus_count: int | None = None,
+    seed: int = 42,
+    n_buckets: int = 64,
+    build_ts: str = "2020-01-01",
+    centroids: np.ndarray | None = None,
+) -> int:
+    """Persist the IVF index as a layout table: corpus rows keyed on
+    their cell id (ONE scan + the layout's bucketed write — no
+    replication, unlike the ×n_tables LSH index), centroid matrix in
+    ``_ivf.json`` beside it. Serving reads only the buckets the probed
+    cells hash to (manifest pruning); writes inherit snapshots / CAS
+    commits / compaction. Returns the committed snapshot id."""
+    import json
+    import os
+
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import write_table
+
+    cent = centroids if centroids is not None else train_ivf_centroids(
+        corpus, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
+        iters=iters, corpus_count=corpus_count, seed=seed,
+    )
+    keyed = ivf_assign(corpus, cent, vec_col=vec_col).select(
+        F.col("__cell").cast("long").alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(build_ts).cast("timestamp").alias("__ats"),
+    )
+    snap = write_table(
+        keyed, root, key_col="cell", ts_col="__ats",
+        n_buckets=n_buckets, dt_granularity="month",
+    )
+    get_io().write_atomic(
+        os.path.join(root, "_ivf.json"),
+        json.dumps(
+            {
+                "dim": dim, "nlist": int(cent.shape[0]), "seed": seed,
+                "id_col": id_col, "vec_col": vec_col,
+                "n_buckets": n_buckets,
+                "centroids": [[float(x) for x in row] for row in cent],
+            }
+        ),
+    )
+    return snap
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    root: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    prune_max_keys: int = 10_000,
+    broadcast_threshold: int = 100_000,
+) -> DataFrame:
+    """Serve IVF top-k from a persisted ``build_ivf_index`` table.
+    Queries hash against the PERSISTED centroids, so results equal
+    on-the-fly ``ivf_topk`` with the same training (pinned by test).
+    Point/interactive batches (≤``prune_max_keys`` distinct probed
+    cells) prune the layout to touched buckets; larger batches scan the
+    index once and shuffle on the cell id."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import buckets_of_keys, read_table
+
+    spark = queries.sparkSession
+    meta = json.loads(get_io().read_text(os.path.join(root, "_ivf.json")))
+    cent = np.asarray(meta["centroids"], dtype="float64")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    nprobe = min(nprobe, cent.shape[0])
+    scores = _centroid_scores_udf(cent)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        s = scores(v)
+        part = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
+        rows = np.arange(s.shape[0])[:, None]
+        order = np.argsort(-s[rows, part], axis=1)
+        return pd.Series(list(part[rows, order].astype("int32")))
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell_i"),
+    ).select(
+        "__qid", "__qv", F.col("__cell_i").cast("long").alias("cell")
+    )
+    sample = q.select("cell").distinct().limit(prune_max_keys + 1).collect()
+    if len(sample) <= prune_max_keys:
+        buckets = buckets_of_keys(
+            spark, [r["cell"] for r in sample], meta["n_buckets"],
+            key_type="bigint",
+        )
+        idx = read_table(spark, root, buckets=buckets)
+    else:
+        idx = read_table(spark, root)
+    from feast_spark.estimate import estimate_rows
+
+    n_q = estimate_rows(queries)
+    q_side = (
+        F.broadcast(q) if n_q is not None and n_q <= broadcast_threshold else q
+    )
+    cand = idx.join(q_side, "cell").select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
