@@ -1265,6 +1265,25 @@ def q_dedup_spans(spark, sf_dir):
     return out.select("doc_id", "pos", "span")
 
 
+def q_dup_substring_spans(spark, sf_dir):
+    """ExactSubstr-style duplicate-substring spans (Lee et al. 2022;
+    operators/dedupe.py duplicate_substring_spans): sliding 8-word grams
+    occurring ≥2× corpus-wide, merged per doc into maximal spans —
+    unlike dedup_spans' fixed C4 blocks, these catch duplication at ANY
+    alignment and mark ALL occurrences. Tail-mutated clones plant
+    guaranteed cross-doc duplicated runs at known positions."""
+    from feast_spark.operators.dedupe import duplicate_substring_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "text"
+    )
+    clones = d.select(
+        (F.col("doc_id") + 700_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmark")).alias("text"),
+    )
+    return duplicate_substring_spans(d.unionByName(clones), k=8)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2361,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 4: hashed-BoW quality classifier + Bloom sketch
         "quality_classifier": q_quality_classifier,
         "bloom_sketch": q_bloom_sketch,
+        # -- NEW in round 4: ExactSubstr duplicate-substring spans
+        "dup_substring_spans": q_dup_substring_spans,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3595,6 +3616,48 @@ def _oracles() -> dict[str, str]:
                        ORDER BY doc_id, pos) AS rn
               FROM spans
             ) WHERE rn = 1
+        """,
+        "dup_substring_spans": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 700000, text || ' tailmark'
+              FROM documents WHERE doc_id % 7 = 0
+            ),
+            words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+            ),
+            grams AS (
+              SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+                     array_to_string(list_slice(w, i.i, i.i + 7), ' ') AS gram
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                     1, len(w) - 7)) AS i) i
+              WHERE len(w) >= 8
+            ),
+            dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+                FROM grams
+              ) WHERE c >= 2
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) IS NULL
+                            OR pos > lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) + 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM dup
+            ),
+            grp AS (
+              SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM isl
+            )
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 7 AS BIGINT) AS span_end
+            FROM grp GROUP BY doc_id, g
         """,
         "stratified_sample": """
             SELECT event_id, event_type, round(value, 6) AS value

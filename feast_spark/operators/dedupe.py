@@ -21,7 +21,7 @@ from __future__ import annotations
 import logging
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -421,6 +421,114 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §4.1 —
+    the suffix-array recipe re-expressed relationally): every SLIDING
+    ``k``-word gram that occurs ≥ ``min_count`` times corpus-wide marks
+    its positions duplicated; per document, overlapping/adjacent
+    duplicated grams merge into maximal spans (gaps-and-islands window).
+    Returns (id, span_start, span_end) in 1-based word positions,
+    inclusive. Unlike ``text.dedup_spans`` (C4's non-overlapping
+    fixed-block rule, first occurrence kept), this finds MAXIMAL
+    duplicated substrings at any alignment and marks ALL occurrences —
+    the paper's semantics; pair with ``remove_duplicate_substrings`` to
+    cut them.
+
+    Scale shape: the gram explode is ∝ tokens (the same widest
+    intermediate as MinHash shingling — a suffix array's O(n) positions,
+    built with a shuffle instead of pointer chasing); the corpus-wide
+    occurrence count is ONE window over (xxhash64(gram), gram) —
+    fixed-width shuffle keys, the gram text riding only as a collision
+    tiebreak — and island merging shuffles on the doc id. No driver
+    collects. ``k`` is the paper's 50-token floor by default: shorter
+    grams mark natural-language collocations, not plagiarism."""
+    toks = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(F.col(id_col), toks.alias("__tk"))
+        .filter(F.size("__tk") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__tk") - k + 1)
+            ).alias("pos"),
+            "__tk",
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", F.slice("__tk", F.col("pos"), k)).alias("__g"),
+        )
+    )
+    wg = Window.partitionBy(F.xxhash64("__g"), "__g")
+    dup = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos")
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wd).isNull()
+        | (F.col("pos") > F.lag("pos").over(wd) + k),
+        1,
+    ).otherwise(0)
+    grp = dup.withColumn("__brk", brk).withColumn(
+        "__isl", F.sum("__brk").over(wd)
+    )
+    return grp.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).alias("span_end"),
+    ).drop("__isl")
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Cut every word covered by a ``duplicate_substring_spans`` span
+    (ALL occurrences, the ExactSubstr rule) and reassemble the text.
+    One row per input doc; docs with no duplicated spans pass through
+    unchanged. The per-word coverage test is a JVM two-arg ``filter``
+    lambda over the token array against the doc's (few) spans — no
+    Python, no second corpus shuffle beyond the spans' own."""
+    spans = duplicate_substring_spans(
+        df, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    covered = lambda x, i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: ((i + 1) >= s["span_start"]) & ((i + 1) <= s["span_end"]),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.filter(toks, lambda x, i: ~covered(x, i)),
+                )
+            ),
+        )
+        .drop("__spans")
     )
 
 

@@ -684,3 +684,70 @@ def test_minhash_append_then_next_batch(spark, docs, mh_index, tmp_path):
         for r in connected_components(full_sdf, max_iter=60).collect()
     }
     assert incr_cc == full_cc
+
+
+# ------------------------- ExactSubstr duplicate-substring spans -----------
+
+
+def test_dup_substring_spans_planted_shared_paragraph(spark):
+    """Two docs share an 8-word run at different offsets; sliding grams
+    at any alignment find it and overlapping grams merge into ONE
+    maximal span per doc (Lee et al. 2022 semantics)."""
+    from feast_spark.operators.dedupe import duplicate_substring_spans
+
+    shared = "the quick brown fox jumps over lazy dogs"
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon"),
+        (2, shared + " zeta eta theta iota kappa wow"),
+        (3, "entirely unique words with no overlap at all here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = (
+        duplicate_substring_spans(df, k=4)
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    # doc 1: words 3..10; doc 2: words 1..8; doc 3: nothing
+    got = list(zip(spans.doc_id, spans.span_start, spans.span_end))
+    assert got == [(1, 3, 10), (2, 1, 8)], got
+
+
+def test_dup_substring_spans_within_doc_repeat_and_short_docs(spark):
+    from feast_spark.operators.dedupe import duplicate_substring_spans
+
+    rows = [
+        # the 4-word phrase repeats INSIDE one doc -> both occurrences
+        (1, "a b c d xx yy zz a b c d"),
+        # shorter than k -> no grams, never marked
+        (2, "a b c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = (
+        duplicate_substring_spans(df, k=4)
+        .toPandas()
+        .sort_values(["doc_id", "span_start"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(spans.doc_id, spans.span_start, spans.span_end))
+    assert got == [(1, 1, 4), (1, 8, 11)], got
+
+
+def test_remove_duplicate_substrings_cuts_all_occurrences(spark):
+    from feast_spark.operators.dedupe import remove_duplicate_substrings
+
+    shared = "one two three four"
+    rows = [
+        (1, "keepA keepB " + shared + " keepC"),
+        (2, shared + " keepD keepE keepF keepG keepH"),
+        (3, "no duplicated content in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_duplicate_substrings(df, k=4).collect()
+    }
+    assert out[1] == "keepA keepB keepC"
+    assert out[2] == "keepD keepE keepF keepG keepH"
+    # untouched doc passes through byte-identical
+    assert out[3] == "no duplicated content in this document at all"
