@@ -1284,6 +1284,48 @@ def q_dup_substring_spans(spark, sf_dir):
     return duplicate_substring_spans(d.unionByName(clones), k=8)
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023; operators/sampling.py
+    hashed_feature_histogram / dsir_log_ratios / dsir_logweights):
+    hashed unigram+bigram histograms of a target slice vs the raw
+    corpus, add-1-smoothed log ratios, per-doc summed logw. The DuckDB
+    oracle re-derives BOTH histograms and every per-doc sum from the
+    same md5-bucket features, so the whole estimator is value-checked
+    (ln precision: same glibc libm on this host; round(4) absorbs
+    summation-order ulps — the perplexity_buckets precedent)."""
+    from feast_spark.operators.sampling import (
+        dsir_log_ratios, dsir_logweights, hashed_feature_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    lr = dsir_log_ratios(
+        hashed_feature_histogram(target, dim=1024),
+        hashed_feature_histogram(corpus, dim=1024),
+    )
+    out = dsir_logweights(corpus, log_ratios=lr)
+    return out.select(
+        "doc_id", (F.round("dsir_logw", 4) + F.lit(0.0)).alias("dsir_logw")
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR Gumbel-top-k selection (rows-only: the draw is a ranking on
+    logw + portable-hash Gumbel noise — deterministic, pinned by
+    tests/test_sampling.py, but a float rank boundary has no robust SQL
+    twin). Selects 40 docs distributed like the target slice."""
+    from feast_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    out = dsir_select(corpus, target, k=40, dim=1024, seed=7)
+    return out.select(
+        "doc_id", (F.round("dsir_logw", 4) + F.lit(0.0)).alias("dsir_logw")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2382,6 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_sketch": q_bloom_sketch,
         # -- NEW in round 4: ExactSubstr duplicate-substring spans
         "dup_substring_spans": q_dup_substring_spans,
+        # -- NEW in round 4: DSIR importance resampling
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3658,6 +3703,47 @@ def _oracles() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 7 AS BIGINT) AS span_end
             FROM grp GROUP BY doc_id, g
+        """,
+        "dsir_weights": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 300
+            ),
+            tgt AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            cf AS (
+              SELECT doc_id, unnest(list_concat(
+                list_transform(w, t ->
+                  CAST(('0x' || substr(md5(t),1,8)) AS BIGINT) % 1024),
+                list_transform(range(1, len(w)), i ->
+                  CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]),1,8))
+                       AS BIGINT) % 1024)
+              )) AS b
+              FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+                    FROM corpus)
+            ),
+            tf AS (
+              SELECT doc_id, unnest(list_concat(
+                list_transform(w, t ->
+                  CAST(('0x' || substr(md5(t),1,8)) AS BIGINT) % 1024),
+                list_transform(range(1, len(w)), i ->
+                  CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1]),1,8))
+                       AS BIGINT) % 1024)
+              )) AS b
+              FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+                    FROM tgt)
+            ),
+            rh AS (SELECT b, count(*) AS c FROM cf GROUP BY b),
+            th AS (SELECT b, count(*) AS c FROM tf GROUP BY b),
+            tot AS (SELECT (SELECT count(*) FROM cf) AS rtot,
+                           (SELECT count(*) FROM tf) AS ttot)
+            SELECT cf.doc_id,
+                   round(sum(
+                     ln((coalesce(th.c, 0) + 1.0) / (tot.ttot + 1024.0))
+                   - ln((coalesce(rh.c, 0) + 1.0) / (tot.rtot + 1024.0))
+                   ), 4) + 0.0 AS dsir_logw
+            FROM cf LEFT JOIN th USING(b) LEFT JOIN rh USING(b), tot
+            GROUP BY cf.doc_id
         """,
         "stratified_sample": """
             SELECT event_id, event_type, round(value, 6) AS value

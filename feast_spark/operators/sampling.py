@@ -444,3 +444,146 @@ def hash_split(
         "split",
         F.when(h8 < F.lit(cut), F.lit("test")).otherwise(F.lit("train")),
     )
+
+
+# ------------------------------------------ DSIR importance resampling -----
+
+
+def hashed_feature_histogram(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    dim: int = 4096,
+    include_bigrams: bool = True,
+    seed_salt: str | None = None,
+) -> "list[int]":
+    """Bucket histogram of DSIR hashed n-gram features over a corpus:
+    ONE map-side-combinable shuffle to ≤``dim`` keys, then a
+    dim-bounded collect (the histogram IS the model — it must fit on
+    the driver to ship inside the scoring expression, exactly like the
+    classifier weight table). Returns a dense length-``dim`` count
+    list."""
+    from feast_spark.operators.text import hashed_ngram_buckets
+
+    rows = (
+        df.select(
+            F.explode(
+                hashed_ngram_buckets(
+                    F.col(text_col), dim=dim,
+                    include_bigrams=include_bigrams, seed_salt=seed_salt,
+                )
+            ).alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    hist = [0] * dim
+    for r in rows:
+        hist[r["b"]] = r["count"]
+    return hist
+
+
+def dsir_log_ratios(
+    target_hist: "list[int]",
+    raw_hist: "list[int]",
+    *,
+    alpha: float = 1.0,
+) -> "list[float]":
+    """Per-bucket smoothed log importance ratio
+    ``ln p_target(b) − ln p_raw(b)`` with add-``alpha`` smoothing over
+    ``dim`` buckets (Xie et al. 2023 eq. 2's hashed-n-gram estimator)."""
+    import math
+
+    dim = len(target_hist)
+    if len(raw_hist) != dim:
+        raise ValueError("histograms must share dim")
+    t_tot = sum(target_hist) + alpha * dim
+    r_tot = sum(raw_hist) + alpha * dim
+    return [
+        math.log((t + alpha) / t_tot) - math.log((r + alpha) / r_tot)
+        for t, r in zip(target_hist, raw_hist)
+    ]
+
+
+def dsir_logweights(
+    corpus: DataFrame,
+    *,
+    log_ratios: "list[float]",
+    text_col: str = "text",
+    include_bigrams: bool = True,
+    seed_salt: str | None = None,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the sum of
+    ``log_ratios[bucket]`` over the doc's hashed n-gram features
+    (counts enter by repetition — a feature occurring c times adds
+    c·lr[b], eq. 3). The ratio table ships as ONE array literal
+    (classifier-weight pattern, fine to ~10^5 buckets); scoring is a
+    pure JVM fold over the feature array — zero shuffle, zero Python.
+    NULL text → NULL weight."""
+    from feast_spark.operators.text import hashed_ngram_buckets
+
+    lr = F.array(*[F.lit(float(x)) for x in log_ratios])
+    feats = hashed_ngram_buckets(
+        F.col(text_col), dim=len(log_ratios),
+        include_bigrams=include_bigrams, seed_salt=seed_salt,
+    )
+    score = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, b: acc + F.element_at(lr, b + F.lit(1)),
+    )
+    return corpus.withColumn(out_col, score)
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    alpha: float = 1.0,
+    include_bigrams: bool = True,
+    seed: int = 42,
+    seed_salt: str | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023): pick
+    ``k`` corpus docs distributed like ``target`` by Gumbel-top-k over
+    the DSIR log weights — sampling without replacement ∝ softmax(logw),
+    derandomized the repo way: the Gumbel noise comes from the portable
+    md5 hash of (id|seed), so the SAME rows are selected on any cluster
+    size, partitioning, or retry (no ``rand()``).
+
+    Plan shape: two histogram aggregations (map-side-combinable, ≤dim
+    keys each), then one corpus scan scoring against the literal ratio
+    table and a global top-k (TakeOrderedAndProject) — no corpus-wide
+    sort materializes. Returns the selected rows with ``dsir_logw``."""
+    raw_hist = hashed_feature_histogram(
+        corpus, text_col=text_col, dim=dim,
+        include_bigrams=include_bigrams, seed_salt=seed_salt,
+    )
+    tgt_hist = hashed_feature_histogram(
+        target, text_col=text_col, dim=dim,
+        include_bigrams=include_bigrams, seed_salt=seed_salt,
+    )
+    lr = dsir_log_ratios(tgt_hist, raw_hist, alpha=alpha)
+    scored = dsir_logweights(
+        corpus, log_ratios=lr, text_col=text_col,
+        include_bigrams=include_bigrams, seed_salt=seed_salt,
+    )
+    # Gumbel(0,1) from a portable uniform: u = (h + 0.5) / 2^32 ∈ (0,1)
+    u = (
+        F.conv(F.substring(_hash_key(F.col(id_col), seed), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("__key", F.col("dsir_logw") + gumbel)
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__key")
+    )

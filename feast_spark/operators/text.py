@@ -516,6 +516,41 @@ def hashed_bow_logit(
     return z / F.size(toks)
 
 
+def hashed_ngram_buckets(
+    col: str | Column,
+    *,
+    dim: int,
+    include_bigrams: bool = True,
+    seed_salt: str | None = None,
+) -> Column:
+    """DSIR's hashed n-gram feature space (Xie et al. 2023 §3: unigrams
+    + adjacent bigrams hashed into ``dim`` buckets) as an ``array<int>``
+    column. Same portable md5-prefix bucket hash and single-space
+    tokenization as ``hashed_bow_logit`` — an external trainer or a SQL
+    oracle reproduces the bucket ids exactly. Pure JVM higher-order
+    functions (split / slice / zip_with / transform), zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(F.lower(c)), " ")
+
+    def bucket(t: Column) -> Column:
+        h = t if seed_salt is None else F.concat(t, F.lit(seed_salt))
+        return (
+            F.conv(F.substring(F.md5(h), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        ).cast("int")
+
+    feats = F.transform(toks, bucket)
+    if include_bigrams:
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(feats, F.transform(bigrams, bucket))
+    return feats
+
+
 def demo_quality_weights(dim: int = 1024) -> "list[float]":
     """Deterministic stand-in weight table for the hashed classifier —
     sixteenths (dyadic rationals), so any summation order produces the

@@ -209,3 +209,78 @@ def test_weighted_mix_epochs(spark):
         weights={"s0": 2.5, "s1": 0.25, "s2": 0.0},
     )
     assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+# ----------------------------------------- DSIR importance resampling ------
+
+
+def test_hashed_feature_histogram_total(spark):
+    from feast_spark.operators.sampling import hashed_feature_histogram
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    hist = hashed_feature_histogram(df, dim=64)
+    # unigrams + adjacent bigrams: (3 + 2) + (2 + 1) = 8 features
+    assert sum(hist) == 8 and len(hist) == 64
+    uni_only = hashed_feature_histogram(df, dim=64, include_bigrams=False)
+    assert sum(uni_only) == 5
+
+
+def test_dsir_log_ratios_guard():
+    import pytest as _pt
+
+    from feast_spark.operators.sampling import dsir_log_ratios
+
+    with _pt.raises(ValueError, match="dim"):
+        dsir_log_ratios([1, 2], [1, 2, 3])
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    from feast_spark.operators.sampling import (
+        dsir_log_ratios, dsir_logweights, hashed_feature_histogram,
+    )
+
+    sci = "quantum theory energy physics experiment measurement result"
+    spam = "click here buy now free offer winner prize deal"
+    corpus = spark.createDataFrame(
+        [(i, sci if i % 2 == 0 else spam) for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, sci) for i in range(5)], "doc_id long, text string"
+    )
+    lr = dsir_log_ratios(
+        hashed_feature_histogram(target, dim=512),
+        hashed_feature_histogram(corpus, dim=512),
+    )
+    w = dsir_logweights(corpus, log_ratios=lr).toPandas()
+    sci_w = w[w.doc_id % 2 == 0]["dsir_logw"]
+    spam_w = w[w.doc_id % 2 == 1]["dsir_logw"]
+    assert sci_w.min() > spam_w.max(), (sci_w.min(), spam_w.max())
+
+
+def test_dsir_select_deterministic_and_enriched(spark):
+    from feast_spark.operators.sampling import dsir_select
+
+    sci = "quantum theory energy physics experiment measurement result"
+    spam = "click here buy now free offer winner prize deal"
+    corpus = spark.createDataFrame(
+        [(i, sci if i % 4 == 0 else spam) for i in range(80)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(900 + i, sci) for i in range(5)], "doc_id long, text string"
+    )
+    a = dsir_select(corpus, target, k=15, dim=512, seed=7)
+    b = dsir_select(corpus, target, k=15, dim=512, seed=7)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 15
+    # corpus is 25% sci; the DSIR-selected set must be strongly enriched
+    sci_frac = sum(1 for i in ids_a if i % 4 == 0) / 15
+    assert sci_frac >= 0.8, sci_frac
+    # different seed -> same enrichment, (almost surely) different draw
+    c = dsir_select(corpus, target, k=15, dim=512, seed=8)
+    ids_c = sorted(r["doc_id"] for r in c.collect())
+    assert ids_c != ids_a
