@@ -1326,6 +1326,62 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_agg_feature_view(spark, sf_dir):
+    """Declared Aggregation specs on a FeatureView (upstream
+    feast/aggregation.py stream-feature-view aggregations;
+    registry.Aggregation / FeatureView.derived_frame): trailing 1-hour
+    sum/count anchored at event times, then served PIT-correctly by the
+    as-of join. The DuckDB oracle recomputes the RANGE window and the
+    ASOF pick. Tie-safe by construction: rows sharing (user, ts) carry
+    identical window aggregates, so either ASOF pick hashes equal."""
+    from datetime import timedelta
+
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureStore, FeatureView,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="evagg",
+            entity=Entity("user", "user_id"),
+            source=ev_path,
+            features=[
+                FeatureSpec("sum_value_3600s", "double"),
+                FeatureSpec("count_value_3600s", "bigint"),
+            ],
+            timestamp_field="ts",
+            aggregations=[
+                Aggregation("value", "sum", timedelta(hours=1)),
+                Aggregation("value", "count", timedelta(hours=1)),
+            ],
+        )
+    )
+    probes = (
+        spark.read.parquet(ev_path)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "user_id",
+            (
+                F.col("ts").cast("timestamp")
+                + F.expr("INTERVAL 30 MINUTES")
+            ).alias("ts"),
+        )
+    )
+    out = store.get_historical_features(
+        probes,
+        ["evagg:sum_value_3600s", "evagg:count_value_3600s"],
+        strategy="union",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        (F.round("sum_value_3600s", 6) + F.lit(0.0)).alias("sum_value_3600s"),
+        F.col("count_value_3600s").cast("long").alias("count_value_3600s"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2427,6 +2483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 4: DSIR importance resampling
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        # -- NEW in round 4: declared Aggregation specs (upstream
+        # feast/aggregation.py) through PIT retrieval
+        "agg_feature_view": q_agg_feature_view,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3703,6 +3762,33 @@ def _oracles() -> dict[str, str]:
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(pos) + 7 AS BIGINT) AS span_end
             FROM grp GROUP BY doc_id, g
+        """,
+        # trailing RANGE window anchored at event times, ASOF-picked at
+        # probe time. floor(epoch) mirrors Spark's timestamp->long cast
+        # (events carry sub-second precision; the window must bucket
+        # whole seconds in BOTH engines)
+        "agg_feature_view": """
+            WITH ev AS (
+              SELECT user_id, ts,
+                     sum(value) OVER w AS s,
+                     count(value) OVER w AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ),
+            probes AS (
+              SELECT user_id, ts + INTERVAL 30 MINUTES AS ts
+              FROM events WHERE event_id % 5 = 0
+            ),
+            j AS (
+              SELECT p.user_id, p.ts, f.s, f.c
+              FROM probes p ASOF LEFT JOIN ev f
+                ON p.user_id = f.user_id AND p.ts >= f.ts
+            )
+            SELECT user_id, ts, round(s, 6) + 0.0 AS sum_value_3600s,
+                   CAST(c AS BIGINT) AS count_value_3600s
+            FROM j
         """,
         "dsir_weights": """
             WITH corpus AS (

@@ -24,6 +24,7 @@ strategy is left to Catalyst/AQE wherever possible.
 __version__ = "0.1.0"
 
 from feast_spark.registry import (  # noqa: F401
+    Aggregation,
     Entity,
     FeatureService,
     FeatureSpec,

@@ -129,6 +129,24 @@ class MaterializeJob:
     def _scan(self, start, end, buckets: list[int]) -> DataFrame:
         ts = self.view.timestamp_field
         keys = self._key_cols()
+        aggs = getattr(self.view, "aggregations", []) or []
+        scan_start = start
+        if aggs:
+            # trailing-window aggregates at the range's first events need
+            # their full window of history below ``start``; an unbounded
+            # (lifetime) window forbids any lower scan bound
+            w = self.view.max_agg_window
+            if w is None:
+                scan_start = None
+            else:
+                import datetime as _dt
+
+                s = (
+                    _dt.datetime.fromisoformat(start)
+                    if isinstance(start, str)
+                    else start
+                )
+                scan_start = s - w
         if self._layout_root:
             # manifest-pruned read: only files overlapping the range AND
             # belonging to this bucket batch ever reach Spark. File-level
@@ -140,13 +158,17 @@ class MaterializeJob:
             df = layout.read_table(
                 self.spark,
                 self._layout_root,
-                start=start,
+                start=scan_start,
                 end=end,
                 buckets=set(buckets) if prunable else None,
             )
         else:
             df = self.view.load(self.spark)
         df = df.withColumn(ts, F.col(ts).cast("timestamp"))
+        if aggs:
+            # derived BEFORE the range filter: bucket pruning keeps whole
+            # keys, and the widened scan supplies the window history
+            df = self.view.derived_frame(df)
         df = df.filter(
             (F.col(ts) >= F.lit(start).cast("timestamp"))
             & (F.col(ts) < F.lit(end).cast("timestamp"))

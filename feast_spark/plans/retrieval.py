@@ -177,6 +177,16 @@ def plan_retrieval(
                 src_kw = {"end": hi + _dt.timedelta(seconds=1)}
                 if lo is not None and fv.ttl is not None:
                     src_kw["start"] = lo - fv.ttl
+                    if fv.aggregations:
+                        # trailing window aggregates at the TTL horizon's
+                        # first events need their full window of history;
+                        # an unbounded (lifetime) agg window forbids any
+                        # lower scan bound
+                        w = fv.max_agg_window
+                        if w is None:
+                            del src_kw["start"]
+                        else:
+                            src_kw["start"] -= w
             from feast_spark.sources.pages import buckets_of_keys
 
             layout_buckets = snap["n_buckets"]
@@ -245,7 +255,7 @@ def plan_retrieval(
                     store.spark, probe_keys_by_col[kcol], layout_buckets,
                     key_type=key_type,
                 )
-        src = fv.load(store.spark, **src_kw)
+        src = fv.derived_frame(fv.load(store.spark, **src_kw))
         declared = {s.name for s in fv.features}
         unknown = [f for f in feats if f not in declared]
         if unknown:

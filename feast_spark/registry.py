@@ -35,6 +35,44 @@ class FeatureSpec:
     dtype: str  # Spark simpleString: "double", "bigint", "string", "array<float>"
 
 
+_AGG_FUNCTIONS = frozenset(
+    {"count", "sum", "avg", "min", "max", "stddev", "variance"}
+)
+
+
+@dataclass(frozen=True)
+class Aggregation:
+    """A declared rolling aggregation on a feature view (upstream
+    feast/aggregation.py — ``Aggregation(column, function, time_window)``
+    on stream feature views; the contrib Spark processor materializes
+    them). The derived feature is named ``{function}_{column}_{N}s``
+    (``{function}_{column}`` for an unbounded / lifetime window)."""
+
+    column: str
+    function: str  # one of _AGG_FUNCTIONS
+    time_window: timedelta | None = None
+
+    def __post_init__(self) -> None:
+        if self.function not in _AGG_FUNCTIONS:
+            raise ValueError(
+                f"aggregation function {self.function!r} not supported; "
+                f"use one of {sorted(_AGG_FUNCTIONS)}"
+            )
+        if self.time_window is not None and (
+            self.time_window.total_seconds() <= 0
+        ):
+            raise ValueError("time_window must be positive")
+
+    @property
+    def feature_name(self) -> str:
+        if self.time_window is None:
+            return f"{self.function}_{self.column}"
+        return (
+            f"{self.function}_{self.column}_"
+            f"{int(self.time_window.total_seconds())}s"
+        )
+
+
 @dataclass
 class FeatureView:
     """A feature table bound to (entity, source, ttl, timestamp columns).
@@ -42,7 +80,9 @@ class FeatureView:
     Upstream: feast/feature_view.py. ``source`` is either a parquet path,
     a table layout root (sources.layout), or a callable
     ``(SparkSession) -> DataFrame`` for view-over-query sources (upstream
-    spark_source.py ``query=``).
+    spark_source.py ``query=``). ``aggregations`` declare derived rolling
+    features (upstream stream-feature-view Aggregation specs) computed by
+    ``derived_frame`` wherever the view's rows are consumed.
     """
 
     name: str
@@ -53,6 +93,7 @@ class FeatureView:
     timestamp_field: str = "warc_ts"
     created_timestamp_column: str | None = None
     field_mapping: dict[str, str] = field(default_factory=dict)
+    aggregations: list[Aggregation] = field(default_factory=list)
 
     @property
     def entities(self) -> "list[Entity]":
@@ -101,6 +142,53 @@ class FeatureView:
             df = df.withColumn(
                 self.created_timestamp_column,
                 F.col(self.created_timestamp_column).cast("timestamp"),
+            )
+        return df
+
+    @property
+    def max_agg_window(self) -> timedelta | None:
+        """Longest declared aggregation window — the extra source history
+        a time-bounded scan must include so trailing aggregates at the
+        range's first events see their full window. ``None`` means either
+        no aggregations or an UNBOUNDED (lifetime) window is declared —
+        callers must then drop the lower scan bound entirely."""
+        if not self.aggregations:
+            return None
+        if any(a.time_window is None for a in self.aggregations):
+            return None
+        return max(a.time_window for a in self.aggregations)
+
+    def derived_frame(self, df: DataFrame) -> DataFrame:
+        """Apply declared aggregations: trailing RANGE-frame window
+        aggregates over (join_keys, event time), anchored AT event times
+        — so the downstream PIT as-of join serves, for any probe ts, the
+        aggregate as of the latest event ≤ ts (upstream's materialized
+        stream-aggregation semantics; aggregating at probe time instead
+        would be a per-probe range join). Aggregations sharing a window
+        share ONE WindowSpec — Catalyst collapses them into a single
+        Window node, so the per-key shuffle+sort happens once however
+        many functions are declared."""
+        if not self.aggregations:
+            return df
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        epoch = F.col(self.timestamp_field).cast("timestamp").cast("long")
+        specs: dict[int | None, object] = {}
+        for agg in self.aggregations:
+            secs = (
+                None
+                if agg.time_window is None
+                else int(agg.time_window.total_seconds())
+            )
+            if secs not in specs:
+                base = Window.partitionBy(*self.join_keys).orderBy(epoch)
+                specs[secs] = base.rangeBetween(
+                    Window.unboundedPreceding if secs is None else -secs, 0
+                )
+            fn = getattr(F, agg.function)
+            df = df.withColumn(
+                agg.feature_name, fn(agg.column).over(specs[secs])
             )
         return df
 
@@ -321,6 +409,18 @@ class FeatureStore:
                     timestamp_field=v["timestamp_field"],
                     created_timestamp_column=v.get("created_timestamp_column"),
                     field_mapping=v.get("field_mapping", {}),
+                    aggregations=[
+                        Aggregation(
+                            column=a["column"],
+                            function=a["function"],
+                            time_window=(
+                                timedelta(seconds=a["window_s"])
+                                if a.get("window_s")
+                                else None
+                            ),
+                        )
+                        for a in v.get("aggregations", [])
+                    ],
                 )
                 self._views[fv.name] = fv
             for o in meta.get("odfvs", []):
@@ -355,6 +455,18 @@ class FeatureStore:
                     "timestamp_field": fv.timestamp_field,
                     "created_timestamp_column": fv.created_timestamp_column,
                     "field_mapping": fv.field_mapping,
+                    "aggregations": [
+                        {
+                            "column": a.column,
+                            "function": a.function,
+                            "window_s": (
+                                a.time_window.total_seconds()
+                                if a.time_window
+                                else None
+                            ),
+                        }
+                        for a in fv.aggregations
+                    ],
                 }
             )
         odfvs = []
@@ -414,8 +526,10 @@ class FeatureStore:
         """Schema validation at registration (upstream feast validates
         sources against declared fields on apply): the source must carry
         the entity join key, the timestamp field(s), and every declared
-        feature with a compatible Spark dtype."""
-        df = view.load(self.spark)
+        feature with a compatible Spark dtype. Aggregated views validate
+        against the DERIVED schema (declared features may name
+        aggregation outputs — lazy schema only, no job runs)."""
+        df = view.derived_frame(view.load(self.spark))
         have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         missing = []
         for col in [*view.join_keys, view.timestamp_field] + (
