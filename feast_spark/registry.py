@@ -501,7 +501,60 @@ class FeatureStore:
             )
         os.replace(tmp, self._registry_path)
 
+    def plan(self, objects) -> list[dict]:
+        """Dry-run diff (upstream ``feast plan`` / ``FeatureStore.plan``):
+        what ``apply(objects)`` WOULD change, without mutating the
+        registry. One record per object: ``{"action": "create" |
+        "update" | "unchanged", "kind", "name", "changes": [field, …]}``
+        — ``changes`` lists the differing fields on an update. Partial
+        declarations are the model (like ``apply``), so absent objects
+        are never reported as deletes; use :meth:`delete_view`
+        explicitly."""
+        import dataclasses
+
+        if not isinstance(objects, (list, tuple)):
+            objects = [objects]
+        out = []
+        for obj in objects:
+            if isinstance(obj, OnDemandFeatureView):
+                kind, current = "odfv", self._odfvs.get(obj.name)
+            elif isinstance(obj, FeatureService):
+                kind, current = "service", self._services.get(obj.name)
+            elif isinstance(obj, FeatureView):
+                kind, current = "view", self._views.get(obj.name)
+            else:
+                raise TypeError(f"cannot plan object of type {type(obj)!r}")
+            if current is None:
+                out.append(
+                    {"action": "create", "kind": kind, "name": obj.name,
+                     "changes": []}
+                )
+                continue
+            changes = [
+                f.name
+                for f in dataclasses.fields(obj)
+                if getattr(obj, f.name) != getattr(current, f.name)
+            ]
+            out.append(
+                {
+                    "action": "update" if changes else "unchanged",
+                    "kind": kind,
+                    "name": obj.name,
+                    "changes": changes,
+                }
+            )
+        return out
+
     def apply(self, view, validate: bool = False) -> None:
+        if isinstance(view, (list, tuple)):
+            # upstream apply() takes a list of objects; order-insensitive
+            # for services referencing views in the same batch — views
+            # and ODFVs land first
+            services = [v for v in view if isinstance(v, FeatureService)]
+            rest = [v for v in view if not isinstance(v, FeatureService)]
+            for v in rest + services:
+                self.apply(v, validate=validate)
+            return
         if isinstance(view, OnDemandFeatureView):
             self._odfvs[view.name] = view
             self._save_registry()

@@ -370,3 +370,65 @@ def test_pandas_entity_df_and_view_management(spark, data_dir, tmp_path_factory)
     del s._services["svc"]
     s.delete_view("pg")
     assert s.list_views() == []
+
+
+# --------------------------------------------------- plan / batch apply ----
+
+
+def test_plan_reports_create_update_unchanged(spark):
+    from datetime import timedelta
+
+    from feast_spark.registry import (
+        Entity, FeatureService, FeatureSpec, FeatureStore, FeatureView,
+    )
+
+    store = FeatureStore(spark)
+    mk = lambda ttl: FeatureView(  # noqa: E731
+        name="pv",
+        entity=Entity("url", "url"),
+        source="/nonexistent/path",
+        features=[FeatureSpec("x", "double")],
+        ttl=ttl,
+        timestamp_field="warc_ts",
+    )
+    svc = FeatureService(name="s1", features=["pv:x"])
+    p = store.plan([mk(None), svc])
+    assert [r["action"] for r in p] == ["create", "create"]
+    # plan never mutates: applying afterwards still creates
+    assert store.list_views() == []
+    store.apply([mk(None), svc])  # batch apply, service after view
+    assert store.list_views() == ["pv"]
+    p2 = store.plan([mk(None), svc])
+    assert [r["action"] for r in p2] == ["unchanged", "unchanged"]
+    p3 = store.plan(mk(timedelta(days=7)))
+    assert p3 == [
+        {"action": "update", "kind": "view", "name": "pv", "changes": ["ttl"]}
+    ]
+
+
+def test_batch_apply_orders_services_after_views(spark):
+    from feast_spark.registry import (
+        Entity, FeatureService, FeatureSpec, FeatureStore, FeatureView,
+    )
+
+    store = FeatureStore(spark)
+    fv = FeatureView(
+        name="v2",
+        entity=Entity("url", "url"),
+        source="/nonexistent/path",
+        features=[FeatureSpec("x", "double")],
+        timestamp_field="warc_ts",
+    )
+    # service listed FIRST: a naive in-order apply would raise
+    store.apply([FeatureService(name="s2", features=["v2:x"]), fv])
+    assert store.list_views() == ["v2"]
+
+
+def test_plan_rejects_unknown_object(spark):
+    import pytest as _pt
+
+    from feast_spark.registry import FeatureStore
+
+    store = FeatureStore(spark)
+    with _pt.raises(TypeError):
+        store.plan([42])
