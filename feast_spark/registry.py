@@ -173,8 +173,19 @@ class FeatureView:
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        epoch = F.col(self.timestamp_field).cast("timestamp").cast("long")
+        # ONE projected epoch column shared by every WindowSpec: separate
+        # withColumn calls would each re-create the cast expression with
+        # a fresh attribute id, and CollapseWindow only merges windows
+        # whose sort expressions are attribute-identical — pinned by
+        # tests/test_plans.py (one Window node per distinct time_window)
+        in_cols = df.columns
+        epoch_col = "__agg_epoch"
+        df = df.withColumn(
+            epoch_col,
+            F.col(self.timestamp_field).cast("timestamp").cast("long"),
+        )
         specs: dict[int | None, object] = {}
+        out_cols = []
         for agg in self.aggregations:
             secs = (
                 None
@@ -182,15 +193,17 @@ class FeatureView:
                 else int(agg.time_window.total_seconds())
             )
             if secs not in specs:
-                base = Window.partitionBy(*self.join_keys).orderBy(epoch)
+                base = Window.partitionBy(*self.join_keys).orderBy(
+                    F.col(epoch_col)
+                )
                 specs[secs] = base.rangeBetween(
                     Window.unboundedPreceding if secs is None else -secs, 0
                 )
             fn = getattr(F, agg.function)
-            df = df.withColumn(
-                agg.feature_name, fn(agg.column).over(specs[secs])
+            out_cols.append(
+                fn(agg.column).over(specs[secs]).alias(agg.feature_name)
             )
-        return df
+        return df.select(*in_cols, *out_cols)
 
 
 @dataclass

@@ -226,3 +226,55 @@ def test_cogroup_bucket_count_grows_with_data(spark, pages_df, tmp_path_factory)
     )
     assert dec_big[0]["n_buckets"] == 2  # within budget: layout-aligned
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_aggregated_view_shares_one_window_and_two_exchanges(spark):
+    """Derived Aggregation plan shape: aggs sharing a time_window
+    collapse into ONE Window node (one shuffle+sort on the entity key),
+    and union-strategy retrieval adds exactly one more exchange (the
+    post-union as-of window) — the feature side is never shuffled a
+    third time."""
+    import re
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureStore, FeatureView,
+    )
+
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="evp",
+            entity=Entity("user", "user_id"),
+            source="/root/testdata/sf0.001/events.parquet",
+            features=[
+                FeatureSpec("sum_value_3600s", "double"),
+                FeatureSpec("count_value_3600s", "bigint"),
+            ],
+            timestamp_field="ts",
+            aggregations=[
+                Aggregation("value", "sum", timedelta(hours=1)),
+                Aggregation("value", "count", timedelta(hours=1)),
+            ],
+        )
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    probes = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = store.get_historical_features(
+        probes,
+        ["evp:sum_value_3600s", "evp:count_value_3600s"],
+        strategy="union",
+    )
+    plan = _formatted(out)
+    # the derived Window node carries BOTH aggregate functions
+    derived = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "RangeFrame, -3600" in ln
+    ]
+    assert len(derived) == 1, derived
+    assert "sum(value" in derived[0] and "count(" in derived[0]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
