@@ -2240,6 +2240,57 @@ def q_stream_online_upsert(spark, sf_dir):
     )
 
 
+def q_stream_agg_features(spark, sf_dir):
+    """Streaming AGGREGATED materialization driver-verified
+    (streaming/pipeline.py stream_agg_to_online — the upstream
+    stream-feature-view shape): micro-batches append to a layout history
+    table, the anchor span re-materializes through the batch
+    MaterializeJob (late rows correct served anchors), and the online
+    store must equal the batch SQL: per user, the trailing-1h sum at the
+    latest event. Output is tie-invariant (same-ts anchors share a RANGE
+    frame, hence the same sum), so the oracle needs no hash tiebreak."""
+    import tempfile
+
+    from datetime import timedelta
+
+    from feast_spark.materialize import read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+    from feast_spark.streaming.pipeline import stream_agg_to_online
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    d = tempfile.mkdtemp(prefix="fs_sagg_")
+    src = os.path.join(d, "src")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    view = FeatureView(
+        name="sagg",
+        entity=Entity("user", "user_id"),
+        source="unused",
+        features=[FeatureSpec("sum_value_3600s", "double")],
+        timestamp_field="ts",
+        aggregations=[Aggregation("value", "sum", timedelta(hours=1))],
+    )
+    q = stream_agg_to_online(
+        stream, view, os.path.join(d, "store"),
+        history_root=os.path.join(d, "hist"),
+        n_buckets=8, checkpoint=os.path.join(d, "ckpt"),
+    )
+    q.awaitTermination()
+    out = read_online(spark, os.path.join(d, "store"))
+    return out.select(
+        "user_id", "ts",
+        (F.round("sum_value_3600s", 6) + F.lit(0.0)).alias("sum_value_3600s"),
+    )
+
+
 def q_stream_stream_join(spark, sf_dir):
     """Stream-stream interval join driver-verified as a REAL streaming
     run: purchases attach to the same user's views within 1 hour
@@ -2441,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_join": q_stream_stream_join,
         # -- NEW in round 4: stream-batch PIT enrichment (next #4)
         "stream_pit_enrich": q_stream_pit_enrich,
+        # -- NEW in round 4: streaming aggregated materialization
+        "stream_agg_features": q_stream_agg_features,
         # -- never driver-signed: vectorized UDF surface V3-V5
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
@@ -3789,6 +3842,24 @@ def _oracles() -> dict[str, str]:
             SELECT user_id, ts, round(s, 6) + 0.0 AS sum_value_3600s,
                    CAST(c AS BIGINT) AS count_value_3600s
             FROM j
+        """,
+        # streaming aggregated materialization == batch: per user, the
+        # trailing-1h sum at the latest event (DISTINCT absorbs
+        # duplicate same-ts anchors, whose RANGE frames are identical)
+        "stream_agg_features": """
+            WITH ev AS (
+              SELECT user_id, ts, sum(value) OVER w AS s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ),
+            latest AS (
+              SELECT user_id, max(ts) AS ts FROM events GROUP BY user_id
+            )
+            SELECT DISTINCT e.user_id, e.ts,
+                   round(e.s, 6) + 0.0 AS sum_value_3600s
+            FROM ev e JOIN latest USING (user_id, ts)
         """,
         "dsir_weights": """
             WITH corpus AS (

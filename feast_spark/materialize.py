@@ -214,11 +214,18 @@ class MaterializeJob:
         if existing_dirs:
             old = self.spark.read.parquet(*existing_dirs)
             old = old.withColumn(ts, F.col(ts).cast("timestamp"))
-            merged = latest.unionByName(old, allowMissingColumns=False)
+            # incoming rows outrank served rows at equal (key, ts,
+            # created): re-materialization is a CORRECTION (late-event
+            # aggregate fixes, transform changes) and must overwrite
+            merged = latest.withColumn("__fresh", F.lit(1)).unionByName(
+                old.withColumn("__fresh", F.lit(0)),
+                allowMissingColumns=False,
+            )
             latest = latest_per_key(
                 merged, key=keys, order=ts,
                 created_col=self.view.created_timestamp_column,
-            )
+                precedence_col="__fresh",
+            ).drop("__fresh")
         latest = latest.withColumn(
             "__bucket", layout.bucket_expr(keys, self.n_buckets)
         )
@@ -463,10 +470,16 @@ def push_to_online(
     if existing_dirs:
         old = spark.read.parquet(*existing_dirs)
         old = old.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        # pushed rows outrank served rows at equal (key, ts, created) —
+        # same new-wins correction rule as the materialize merge
         latest = latest_per_key(
-            latest.unionByName(old, allowMissingColumns=False),
+            latest.withColumn("__fresh", F.lit(1)).unionByName(
+                old.withColumn("__fresh", F.lit(0)),
+                allowMissingColumns=False,
+            ),
             key=key_cols, order=ts_col, created_col=created_col,
-        )
+            precedence_col="__fresh",
+        ).drop("__fresh")
     latest = latest.withColumn(
         "__bucket", layout.bucket_expr(key_cols, n_buckets)
     )

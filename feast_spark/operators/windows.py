@@ -132,16 +132,27 @@ def latest_per_key(
     key: str | list[str] = "url",
     order: str = "warc_ts",
     created_col: str | None = None,
+    precedence_col: str | None = None,
 ) -> DataFrame:
     """A1: one row per key — max event_ts, tie-break max created_ts, then
     a deterministic xxhash64 of all columns (total order ⇒ permutation-
     invariant output; SURVEY.md §4.2.6). This is the materialization core
-    (upstream pull_latest_from_table_or_query)."""
+    (upstream pull_latest_from_table_or_query).
+
+    ``precedence_col``: optional extra tiebreak BETWEEN created_ts and
+    the content hash (higher wins). The store-merge paths tag incoming
+    rows 1 and already-served rows 0, so a re-materialization that
+    CHANGES a row's payload at the same (key, ts, created) — a derived
+    aggregate corrected by a late event, a transform change — reliably
+    overwrites instead of losing a coin-flip on the content hash."""
     keys = [key] if isinstance(key, str) else list(key)
     order_cols = [F.col(order).desc()]
     if created_col:
         order_cols.append(F.col(created_col).desc_nulls_last())
-    order_cols.append(F.xxhash64(*[F.col(c) for c in df.columns]).desc())
+    if precedence_col:
+        order_cols.append(F.col(precedence_col).desc())
+    hash_cols = [c for c in df.columns if c != precedence_col]
+    order_cols.append(F.xxhash64(*[F.col(c) for c in hash_cols]).desc())
     w = Window.partitionBy(*keys).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -162,6 +162,78 @@ def stream_latest_to_online(
     return writer.trigger(availableNow=True).start()
 
 
+def stream_agg_to_online(
+    stream_df: DataFrame,
+    view,
+    dest: str,
+    *,
+    history_root: str,
+    n_buckets: int = 16,
+    checkpoint: str | None = None,
+):
+    """Streaming twin of AGGREGATED materialization (upstream stream
+    feature views are where Aggregation specs live; the contrib Spark
+    processor materializes them). Spark's stateful streaming aggregation
+    can't express per-anchor trailing windows, so state lives in a TABLE,
+    not stream state: each micro-batch
+
+    1. appends its raw rows to a layout-backed history table (snapshot /
+       CAS commit machinery — replayable, time-travelable), then
+    2. re-materializes the anchor span ``[batch_min, batch_max +
+       max_agg_window)`` from that table through the SAME
+       ``MaterializeJob`` as batch — the scan auto-widens by the window,
+       derived aggregates are computed before the range filter, and the
+       latest-per-key upsert touches only affected buckets.
+
+    The +window upper pad makes cross-batch event-time disorder correct
+    itself: a late row changes the aggregates of every anchor within its
+    trailing window's reach, and all such anchors fall inside the
+    recompute span, so previously-served values are overwritten with
+    corrected ones. Streaming and batch serving stores are
+    byte-compatible by construction (pinned by test). A lifetime
+    (unbounded) aggregation window forces a full-history scan per
+    micro-batch — correct but O(history); prefer bounded windows on
+    streams. Returns the started StreamingQuery (caller awaits)."""
+    import dataclasses
+    import datetime as _dt
+
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.sources.pages import write_table
+
+    if not getattr(view, "aggregations", None):
+        raise ValueError("stream_agg_to_online needs a view with aggregations")
+    ts = view.timestamp_field
+    keys = view.join_keys
+    if not keys:
+        raise ValueError("stream_agg_to_online needs an entity-keyed view")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.withColumn(ts, F.col(ts).cast("timestamp"))
+        write_table(
+            batch_df, history_root, key_col=keys[0], ts_col=ts,
+            n_buckets=n_buckets, mode="append",
+        )
+        bounds = batch_df.agg(
+            F.min(ts).alias("lo"), F.max(ts).alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return
+        pad = view.max_agg_window or _dt.timedelta(0)
+        hview = dataclasses.replace(view, source=history_root)
+        MaterializeJob(
+            batch_df.sparkSession, hview, dest,
+            n_buckets=n_buckets, bucket_batch=n_buckets,
+            lineage_tag=f"stream{batch_id:08d}",
+        ).run(bounds["lo"], bounds["hi"] + pad + _dt.timedelta(seconds=1))
+
+    writer = stream_df.writeStream.foreachBatch(fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
 def stream_enrich_pit(
     probe_stream: DataFrame,
     store,

@@ -410,3 +410,87 @@ def test_stream_enrich_pit_equals_batch_retrieval(
     assert got.count() == probes.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_agg_to_online_matches_batch_with_late_rows(
+    spark, tmp_path_factory
+):
+    """Streaming aggregated materialization (stream_agg_to_online) ==
+    batch materialization of the same aggregated view over the full
+    replay — INCLUDING a cross-batch late row whose arrival must correct
+    an already-served anchor's trailing-window value."""
+    from datetime import datetime, timedelta
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+
+    base = tmp_path_factory.mktemp("stream_agg")
+    src = str(base / "src")
+    schema = "warc_ts timestamp, url string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0), "a", 1.0),
+            (datetime(2024, 1, 1, 1, 0), "a", 2.0),
+            (datetime(2024, 1, 1, 0, 5), "b", 5.0),
+        ],
+        schema,
+    )
+    # batch 2 carries a LATE row for a (00:30 < batch-1 max 01:00): the
+    # served anchor a@01:00 must be re-materialized with sum 1+10+2
+    b2 = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 30), "a", 10.0),
+            (datetime(2024, 1, 1, 2, 0), "b", 7.0),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    aggs = [Aggregation("value", "sum", timedelta(hours=1))]
+    feats = [FeatureSpec("sum_value_3600s", "double")]
+    view = FeatureView(
+        name="sagg",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=feats,
+        timestamp_field="warc_ts",
+        aggregations=aggs,
+    )
+    dest = str(base / "store")
+    hist = str(base / "hist")
+    ckpt = str(base / "ckpt")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = sp.stream_agg_to_online(
+        stream, view, dest, history_root=hist, n_buckets=4, checkpoint=ckpt
+    )
+    q.awaitTermination()
+
+    got = {
+        r["url"]: (str(r["warc_ts"]), r["sum_value_3600s"])
+        for r in read_online(spark, dest).collect()
+    }
+    # a: latest anchor 01:00, window [00:00, 01:00] = 1 + 10 + 2
+    assert got["a"] == ("2024-01-01 01:00:00", 13.0)
+    # b: latest anchor 02:00, 00:05 outside the 1h window
+    assert got["b"] == ("2024-01-01 02:00:00", 7.0)
+
+    # and byte-compatible with a one-shot batch materialization
+    import dataclasses
+
+    bdest = str(base / "bstore")
+    bview = dataclasses.replace(
+        view, source=lambda s: b1.unionByName(b2)
+    )
+    MaterializeJob(spark, bview, bdest, n_buckets=4).run(
+        datetime(2024, 1, 1), datetime(2024, 1, 2)
+    )
+    batch = {
+        r["url"]: (str(r["warc_ts"]), r["sum_value_3600s"])
+        for r in read_online(spark, bdest).collect()
+    }
+    assert got == batch
