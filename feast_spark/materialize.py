@@ -277,6 +277,7 @@ class MaterializeJob:
             n_buckets=self.n_buckets,
             key_cols=self._key_cols(),
             key_types=self._key_types(),
+            ts_col=self.view.timestamp_field,
         )
         batches = [
             list(range(b, min(b + self.bucket_batch, self.n_buckets)))
@@ -331,6 +332,7 @@ def write_store_meta(
     key_type: str | None = None,
     key_cols: list[str] | None = None,
     key_types: list[str] | None = None,
+    ts_col: str | None = None,
 ) -> None:
     """Persist the store's bucket modulus (ADVICE r01: inferring it from
     ``1+max(bucket dirs)`` is wrong when the top bucket was never written —
@@ -365,17 +367,24 @@ def write_store_meta(
                 f"store {dest} is keyed on {prior_cols}, cannot "
                 f"re-materialize keyed on {key_cols}"
             )
+        changed = False
         if key_types and not prior.get("key_types") and not prior.get("key_type"):
             # backfill dtypes for older stores
             prior["key_types"] = key_types
             if len(key_types) == 1:
                 prior["key_type"] = key_types[0]
+            changed = True
+        if ts_col and not prior.get("ts_col"):
+            prior["ts_col"] = ts_col  # backfill for pre-TTL stores
+            changed = True
+        if changed:
             fileio.get_io().write_atomic(path, json.dumps(prior))
         return
     meta = {
         "n_buckets": n_buckets,
         "key_cols": key_cols,
         "key_types": key_types,
+        "ts_col": ts_col,
     }
     if len(key_cols) == 1:  # scalar aliases for pre-composite readers
         meta["key_col"] = key_cols[0]
@@ -510,6 +519,8 @@ def read_online(
     *,
     key_col: str = "url",
     key_cols: list[str] | None = None,
+    ttl=None,
+    now=None,
 ):
     """Read the serving store (one row per entity key). With ``keys``,
     prunes to just those keys' bucket directories before scanning — a KV
@@ -518,13 +529,37 @@ def read_online(
     Composite-key stores: pass ``key_cols=[k1, k2, …]`` and ``keys`` as a
     list of tuples; pruning hashes the tuples with the writer's
     transform, and the residual filter is a broadcast semi-join against
-    the (tiny) probe set."""
+    the (tiny) probe set.
+
+    ``ttl`` (a timedelta) + ``now``: online-store TTL expiry (upstream
+    online stores evict rows older than the view's ttl) — rows whose
+    event time predates ``now - ttl`` are filtered out, the read-side
+    equivalent of eviction. ``now`` is EXPLICIT (no wall-clock read
+    here) so lookups are reproducible; the event-time column comes from
+    store.json (recorded at materialization)."""
+    import datetime as _dt
+
     data = os.path.join(dest, layout.DATA_DIR)
     meta = read_store_meta(dest)
     if key_cols is None:
         key_cols = (meta or {}).get("key_cols") or [key_col]
+    expire = None
+    if ttl is not None:
+        if now is None:
+            raise ValueError("ttl expiry needs an explicit `now`")
+        ts_col = (meta or {}).get("ts_col") or "warc_ts"
+        if isinstance(now, str):
+            now = _dt.datetime.fromisoformat(now)
+        cutoff = now - ttl
+
+        def expire(df):  # noqa: E731 — applied to every return path
+            return df.filter(
+                F.col(ts_col).cast("timestamp") > F.lit(cutoff)
+            )
+
     if keys is None:
-        return spark.read.parquet(data)
+        out = spark.read.parquet(data)
+        return expire(out) if expire else out
     dirs = sorted(d for d in os.listdir(data) if d.startswith("bucket="))
     if meta is not None:
         n_buckets = meta["n_buckets"]
@@ -558,7 +593,11 @@ def read_online(
         return empty
     out = spark.read.parquet(*paths)
     if len(key_cols) == 1:
-        return out.filter(F.col(key_cols[0]).isin(keys))
-    schema = ", ".join(f"{c} {t}" for c, t in zip(key_cols, key_types))
-    probe = spark.createDataFrame([tuple(k) for k in keys], schema).distinct()
-    return out.join(F.broadcast(probe), on=key_cols, how="left_semi")
+        out = out.filter(F.col(key_cols[0]).isin(keys))
+    else:
+        schema = ", ".join(f"{c} {t}" for c, t in zip(key_cols, key_types))
+        probe = spark.createDataFrame(
+            [tuple(k) for k in keys], schema
+        ).distinct()
+        out = out.join(F.broadcast(probe), on=key_cols, how="left_semi")
+    return expire(out) if expire else out

@@ -649,7 +649,10 @@ class FeatureStore:
         get_historical_features): ``features`` are ``"view:feature"`` refs,
         a registered :class:`FeatureService` (or its name) resolving to
         its refs; entity_df must carry the entity join key + a ``ts``
-        column.
+        column. ``entity_df`` may also be a SQL string (upstream accepts
+        one for warehouse offline stores) or a pandas DataFrame — both
+        normalize to Spark, and the SQL form keeps the probe scan inside
+        Catalyst (pruning/pushdown apply as usual).
         """
         from feast_spark.plans.retrieval import plan_retrieval
 
@@ -657,6 +660,8 @@ class FeatureStore:
             features = list(features.features)
         elif isinstance(features, str):
             features = list(self._services[features].features)
+        if isinstance(entity_df, str):  # SQL entity source
+            entity_df = self.spark.sql(entity_df)
         # upstream accepts a pandas entity_df; normalize to Spark
         try:
             import pandas as _pd
@@ -703,23 +708,43 @@ class FeatureStore:
         key_col: str | None = None,
         key_cols: list[str] | None = None,
         odfvs: list[str] | None = None,
+        ttl: timedelta | None = None,
+        now=None,
+        log_to: str | None = None,
     ) -> DataFrame:
         """Point-lookup path (upstream get_online_features): read the
         materialized serving store pruned to the keys' buckets. Composite
         stores take ``key_cols`` + tuple keys (see read_online).
         ``odfvs`` names registered on-demand views to compute on top of
-        the served rows (upstream applies ODFVs at online read too)."""
+        the served rows (upstream applies ODFVs at online read too).
+        ``ttl`` + ``now``: read-side TTL eviction (rows older than
+        ``now - ttl`` are never served). ``log_to``: feature logging
+        (upstream feature-server logging for training/serving-skew
+        audits) — the served rows append to a parquet log stamped with
+        ``log_ts = now`` before being returned."""
         from feast_spark.materialize import read_online
 
         kc = key_col or "url"
         out = read_online(
-            self.spark, store_path, keys, key_col=kc, key_cols=key_cols
+            self.spark, store_path, keys, key_col=kc, key_cols=key_cols,
+            ttl=ttl, now=now,
         )
         for name in odfvs or []:
             from feast_spark.operators.vectorized import on_demand_transform
 
             odfv = self._odfvs[name]
             out = on_demand_transform(out, odfv.transform, odfv.schema)
+        if log_to:
+            from pyspark.sql import functions as F
+
+            stamp = (
+                F.lit(now).cast("timestamp")
+                if now is not None
+                else F.current_timestamp()
+            )
+            out.withColumn("log_ts", stamp).write.mode("append").parquet(
+                log_to
+            )
         return out
 
     def materialize(self, view_name: str, start, end, dest: str, **kw):

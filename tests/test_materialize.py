@@ -314,3 +314,98 @@ def test_composite_point_lookup(spark, composite_src, tmp_path_factory):
         dest, [("u3", "android")], key_cols=["user", "device"]
     ).toPandas()
     assert len(got2) == 1 and got2["score"][0] == 32.0
+
+
+def test_read_online_ttl_expiry(spark, tmp_path_factory):
+    """Read-side TTL eviction (upstream online stores expire rows older
+    than the view ttl): rows whose event time predates now - ttl are
+    never served; `now` is explicit so lookups are reproducible."""
+    from datetime import datetime, timedelta
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+
+    fresh = datetime(2024, 1, 10)
+    stale = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(stale, "old", 1.0), (fresh, "new", 2.0)],
+        "warc_ts timestamp, url string, value double",
+    )
+    view = FeatureView(
+        name="tt", entity=Entity("url", "url"),
+        source=lambda s, d=df: d,
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="warc_ts",
+    )
+    dest = str(tmp_path_factory.mktemp("ttl") / "store")
+    MaterializeJob(spark, view, dest, n_buckets=2).run(
+        datetime(2023, 12, 1), datetime(2024, 2, 1)
+    )
+    now = datetime(2024, 1, 12)
+    all_rows = {r["url"] for r in read_online(spark, dest).collect()}
+    assert all_rows == {"old", "new"}
+    live = {
+        r["url"]
+        for r in read_online(
+            spark, dest, ttl=timedelta(days=7), now=now
+        ).collect()
+    }
+    assert live == {"new"}
+    # keyed lookups expire identically
+    live_keyed = {
+        r["url"]
+        for r in read_online(
+            spark, dest, ["old", "new"], ttl=timedelta(days=7), now=now
+        ).collect()
+    }
+    assert live_keyed == {"new"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="now"):
+        read_online(spark, dest, ttl=timedelta(days=7))
+
+
+def test_get_online_features_logging_and_sql_entity_df(
+    spark, tmp_path_factory
+):
+    """Feature logging (served rows + log_ts appended to a parquet log)
+    and the SQL-string entity_df form of get_historical_features."""
+    from datetime import datetime
+
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 5), "a", 1.0), (datetime(2024, 1, 6), "b", 2.0)],
+        "warc_ts timestamp, url string, value double",
+    )
+    view = FeatureView(
+        name="lg", entity=Entity("url", "url"),
+        source=lambda s, d=df: d,
+        features=[FeatureSpec("value", "double")],
+        timestamp_field="warc_ts",
+    )
+    base = tmp_path_factory.mktemp("log")
+    dest = str(base / "store")
+    MaterializeJob(spark, view, dest, n_buckets=2).run(
+        datetime(2024, 1, 1), datetime(2024, 2, 1)
+    )
+    store = FeatureStore(spark)
+    store.apply(view)
+    log = str(base / "servelog")
+    served = store.get_online_features(
+        dest, ["a"], now=datetime(2024, 1, 7), log_to=log
+    )
+    assert served.count() == 1
+    logged = spark.read.parquet(log).collect()
+    assert len(logged) == 1 and logged[0]["url"] == "a"
+    assert str(logged[0]["log_ts"]) == "2024-01-07 00:00:00"
+
+    # SQL-string entity_df goes through spark.sql
+    df.createOrReplaceTempView("probe_src")
+    out = store.get_historical_features(
+        "SELECT url, warc_ts AS ts FROM probe_src",
+        ["lg:value"], strategy="union",
+    )
+    assert out.count() == 2
+    assert {r["value"] for r in out.collect()} == {1.0, 2.0}
