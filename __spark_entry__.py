@@ -1382,6 +1382,26 @@ def q_agg_feature_view(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-Stability-Index drift check (validation.psi_drift —
+    the "did this crawl's distribution move?" gate): even/odd event
+    halves binned over [0, 500), per-bin (p_ref, p_cur, psi) terms.
+    Oracle reproduces the fixed-width clamp bins, the min_frac floor,
+    and the log-ratio terms in SQL."""
+    from feast_spark.validation import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = psi_drift(ref, cur, "value", lo=0.0, hi=500.0, bins=10)
+    return out.select(
+        "bin",
+        (F.round("p_ref", 6) + F.lit(0.0)).alias("p_ref"),
+        (F.round("p_cur", 6) + F.lit(0.0)).alias("p_cur"),
+        (F.round("psi", 6) + F.lit(0.0)).alias("psi"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2539,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 4: declared Aggregation specs (upstream
         # feast/aggregation.py) through PIT retrieval
         "agg_feature_view": q_agg_feature_view,
+        # -- NEW in round 4: PSI distribution-drift gate
+        "psi_drift": q_psi_drift,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3860,6 +3882,42 @@ def _oracles() -> dict[str, str]:
             SELECT DISTINCT e.user_id, e.ts,
                    round(e.s, 6) + 0.0 AS sum_value_3600s
             FROM ev e JOIN latest USING (user_id, ts)
+        """,
+        "psi_drift": """
+            WITH rb AS (
+              SELECT least(greatest(CAST(floor(
+                       (CAST(value AS DOUBLE) - 0.0) / 50.0) AS BIGINT),
+                       0), 9) AS bin,
+                     count(*) AS nr
+              FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+              GROUP BY 1
+            ),
+            cb AS (
+              SELECT least(greatest(CAST(floor(
+                       (CAST(value AS DOUBLE) - 0.0) / 50.0) AS BIGINT),
+                       0), 9) AS bin,
+                     count(*) AS nc
+              FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+              GROUP BY 1
+            ),
+            j AS (
+              SELECT coalesce(rb.bin, cb.bin) AS bin,
+                     coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+              FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+            ),
+            t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j),
+            p AS (
+              SELECT bin,
+                     greatest(nr / greatest(tr, 1), 0.0001) AS p_ref,
+                     greatest(nc / greatest(tc, 1), 0.0001) AS p_cur
+              FROM j, t
+            )
+            SELECT CAST(bin AS INT) AS bin,
+                   round(p_ref, 6) + 0.0 AS p_ref,
+                   round(p_cur, 6) + 0.0 AS p_cur,
+                   round((p_cur - p_ref) * (ln(p_cur) - ln(p_ref)), 6) + 0.0
+                     AS psi
+            FROM p
         """,
         "dsir_weights": """
             WITH corpus AS (

@@ -112,3 +112,99 @@ def expect(df: DataFrame, expectations: list[dict]) -> None:
             f"{k}({c}) observed={o}" for k, c, o in failed
         )
         raise ValueError(f"{len(failed)} expectation(s) failed: {msgs}")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index drift between a reference slice and the
+    current slice of ``column`` — the standard "did this crawl's
+    distribution move?" gate (PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted; the credit-scoring convention).
+
+    Fixed-width bins over the EXPLICIT ``[lo, hi)`` (values clamp into
+    the edge bins, so outliers register as tail mass rather than
+    vanishing; pass bounds from domain knowledge or a prior profile —
+    computing them here would add a scan and make two runs' bins
+    incomparable). NULLs are excluded from both sides. Bin fractions are
+    floored at ``min_frac`` before the log ratio (the standard guard:
+    an empty bin contributes large-but-finite drift instead of ±inf).
+
+    One map-side-combinable aggregation per side (≤``bins`` keys), an
+    outer join on the bin id, arithmetic — nothing driver-side. Returns
+    one row per bin: (bin, p_ref, p_cur, psi) — ``sum(psi)`` is the
+    index; keeping per-bin terms makes the drift diagnosable (WHICH part
+    of the distribution moved) without a second scan."""
+    if bins < 1 or hi <= lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.floor((_c(column).cast("double") - F.lit(lo)) / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+        return (
+            df.filter(_c(column).isNotNull())
+            .groupBy(b.cast("int").alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    r = binned(ref, "__nr")
+    c = binned(cur, "__nc")
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("__nr"), F.lit(0)).alias("__nr"),
+        F.coalesce(F.col("__nc"), F.lit(0)).alias("__nc"),
+    )
+    tot = joined.select(
+        F.sum("__nr").alias("tr"), F.sum("__nc").alias("tc")
+    )
+    p_ref = F.greatest(
+        F.col("__nr") / F.greatest(F.col("tr"), F.lit(1)), F.lit(min_frac)
+    )
+    p_cur = F.greatest(
+        F.col("__nc") / F.greatest(F.col("tc"), F.lit(1)), F.lit(min_frac)
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * (F.log(p_cur) - F.log(p_ref))).alias("psi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def expect_no_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    threshold: float = 0.25,
+) -> float:
+    """Pipeline-gate form of :func:`psi_drift`: returns the total PSI,
+    raising ``ValueError`` (with the worst bins named) when it exceeds
+    ``threshold``."""
+    rows = psi_drift(ref, cur, column, lo=lo, hi=hi, bins=bins).collect()
+    total = sum(r["psi"] for r in rows)
+    if total > threshold:
+        worst = sorted(rows, key=lambda r: -r["psi"])[:3]
+        detail = ", ".join(
+            f"bin {r['bin']}: {r['p_ref']:.4f}->{r['p_cur']:.4f}"
+            for r in worst
+        )
+        raise ValueError(
+            f"PSI drift {total:.4f} > {threshold} on {column!r} ({detail})"
+        )
+    return total

@@ -100,3 +100,63 @@ def test_validate_empty_table(spark):
     assert out["row_count_min"] == (False, 0.0)
     assert out["not_null"] == (True, 0.0)   # vacuously: no nulls present
     assert out["accepted_range"] == (True, 0.0)
+
+
+# ------------------------------------------------------- PSI drift ---------
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from feast_spark.validation import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(i % 10),) for i in range(1000)], "x double"
+    )
+    rows = psi_drift(df, df, "x", lo=0.0, hi=10.0, bins=10).collect()
+    assert len(rows) == 10
+    assert abs(sum(r["psi"] for r in rows)) < 1e-12
+    for r in rows:
+        assert abs(r["p_ref"] - 0.1) < 1e-12 and r["p_ref"] == r["p_cur"]
+
+
+def test_psi_detects_shift_and_gate_raises(spark):
+    import pytest as _pt
+
+    from feast_spark.validation import expect_no_drift, psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(1000)], "x double"
+    )
+    # current mass concentrated in the top bins — a strong shift
+    cur = spark.createDataFrame(
+        [(7.0 + (i % 3),) for i in range(1000)], "x double"
+    )
+    total = sum(
+        r["psi"]
+        for r in psi_drift(ref, cur, "x", lo=0.0, hi=10.0, bins=10).collect()
+    )
+    assert total > 0.25, total
+    with _pt.raises(ValueError, match="PSI drift"):
+        expect_no_drift(ref, cur, "x", lo=0.0, hi=10.0, threshold=0.25)
+    # identical passes the gate and returns ~0
+    assert expect_no_drift(ref, ref, "x", lo=0.0, hi=10.0) < 1e-12
+
+
+def test_psi_outliers_clamp_into_edge_bins_and_nulls_drop(spark):
+    from feast_spark.validation import psi_drift
+
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [(-100.0,), (999.0,), (None,)], "x double"
+    )
+    rows = {
+        r["bin"]: r for r in psi_drift(
+            ref, cur, "x", lo=0.0, hi=10.0, bins=5
+        ).collect()
+    }
+    # outliers register as edge-bin mass (not dropped): bin 0 and bin 4
+    assert rows[0]["p_cur"] == 0.5 and rows[4]["p_cur"] == 0.5
+    # nulls excluded: fractions are over 2 rows each side
+    # (1.0 -> bin 0, 2.0 -> bin 1 at width 2)
+    assert rows[0]["p_ref"] == 0.5 and rows[1]["p_ref"] == 0.5
