@@ -1402,6 +1402,35 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_layout_tag_read(spark, sf_dir):
+    """Iceberg named refs (sources/pages.py create_tag / read_table(tag=)
+    — VERSION AS OF 'tag'): tag the even-half snapshot as a corpus
+    release, append the odd half, expire old snapshots with keep_last=1
+    — the tag PINS its snapshot through expiry — then read via the tag:
+    only the even half, same oracle as snapshot time travel."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_tag_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4,
+    )
+    layout.create_tag(root, "corpus-v1")
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+    )
+    layout.expire_snapshots(root, keep_last=1)  # tag must survive this
+    return layout.read_table(spark, root, tag="corpus-v1").select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2561,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_feature_view": q_agg_feature_view,
         # -- NEW in round 4: PSI distribution-drift gate
         "psi_drift": q_psi_drift,
+        # -- NEW in round 4: Iceberg named refs (tags pin snapshots)
+        "layout_tag_read": q_layout_tag_read,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3050,6 +3081,10 @@ def _oracles() -> dict[str, str]:
               AND ts <  TIMESTAMP '2023-09-01 00:00:00'
         """,
         "layout_time_travel": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events WHERE event_id % 2 = 0
+        """,
+        "layout_tag_read": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events WHERE event_id % 2 = 0
         """,

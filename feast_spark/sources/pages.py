@@ -725,12 +725,69 @@ def _list_all_data_files(root: str) -> list[str]:
     return sorted(out)
 
 
+def _refs_path(root: str) -> str:
+    return os.path.join(root, META_DIR, "refs.json")
+
+
+def list_refs(root: str) -> dict:
+    """Named refs on the table (Iceberg table refs): currently immutable
+    TAGS — {"tags": {name: snapshot_id}}."""
+    p = _refs_path(root)
+    if not os.path.exists(p):
+        return {"tags": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def create_tag(root: str, name: str, snapshot_id: int | None = None) -> int:
+    """Iceberg ``create_tag``: an IMMUTABLE named ref to a snapshot
+    (default: current HEAD) — 'the corpus release we trained v3 on'.
+    Tagged snapshots survive ``expire_snapshots`` regardless of
+    ``keep_last``, so a tag is also a retention pin. Refuses to retarget
+    an existing tag (immutability is the contract; ``drop_tag`` first).
+    Returns the pinned snapshot id."""
+    if snapshot_id is None:
+        head = current_snapshot(root)
+        if head is None:
+            raise FileNotFoundError(f"no table at {root}")
+        snapshot_id = head["snapshot_id"]
+    else:
+        load_snapshot(root, snapshot_id)  # raises if expired/nonexistent
+    refs = list_refs(root)
+    if name in refs["tags"]:
+        raise ValueError(
+            f"tag {name!r} already points at snapshot "
+            f"{refs['tags'][name]}; tags are immutable (drop_tag first)"
+        )
+    refs["tags"][name] = snapshot_id
+    get_io().write_atomic(_refs_path(root), json.dumps(refs))
+    return snapshot_id
+
+
+def drop_tag(root: str, name: str) -> None:
+    refs = list_refs(root)
+    if name not in refs["tags"]:
+        raise KeyError(f"no tag {name!r} at {root}")
+    del refs["tags"][name]
+    get_io().write_atomic(_refs_path(root), json.dumps(refs))
+
+
+def resolve_tag(root: str, name: str) -> int:
+    refs = list_refs(root)
+    if name not in refs["tags"]:
+        raise KeyError(
+            f"no tag {name!r} at {root}; have {sorted(refs['tags'])}"
+        )
+    return refs["tags"][name]
+
+
 def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
     """Iceberg ``expire_snapshots``: drop all but the newest
     ``keep_last`` snapshots and delete data files no surviving snapshot
     references (compaction leftovers, overwritten appends). Time travel
     to expired snapshots stops working — that is the point (bounded
-    storage). Returns {snapshots_removed, files_removed, bytes_freed}."""
+    storage). TAGGED snapshots always survive (a tag is a retention
+    pin). Returns {snapshots_removed, files_removed, bytes_freed}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     head = current_snapshot(root)
@@ -742,6 +799,10 @@ def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
         if n.startswith("snap-") and n.endswith(".json")
     )
     survivors = snaps[-keep_last:]
+    for sid in list_refs(root)["tags"].values():
+        pinned = f"snap-{sid:06d}.json"
+        if pinned in snaps and pinned not in survivors:
+            survivors.append(pinned)
     if f"snap-{head['snapshot_id']:06d}.json" not in survivors:
         raise RuntimeError("HEAD snapshot would be expired")  # never
     expired = [n for n in snaps if n not in survivors]
@@ -867,6 +928,7 @@ def read_table(
     root: str,
     *,
     snapshot: int | None = None,
+    tag: str | None = None,
     start=None,
     end=None,
     buckets: set[int] | None = None,
@@ -877,7 +939,13 @@ def read_table(
     dt/bucket directory values never surface (explicit file lists, no
     basePath, so Spark does not project partition columns).
     ``col_ranges`` prunes on per-column manifest stats; the caller still
-    applies the exact predicate (pruning returns a superset)."""
+    applies the exact predicate (pruning returns a superset).
+    ``tag`` reads the snapshot a named ref pins (Iceberg
+    ``VERSION AS OF 'tag'``) — mutually exclusive with ``snapshot``."""
+    if tag is not None:
+        if snapshot is not None:
+            raise ValueError("pass snapshot OR tag, not both")
+        snapshot = resolve_tag(root, tag)
     snap, files = plan_files(
         root, snapshot=snapshot, start=start, end=end, buckets=buckets,
         col_ranges=col_ranges,

@@ -726,3 +726,63 @@ def test_remove_orphans_refuses_serving_store(spark, tmp_path_factory):
     with pytest.raises(RuntimeError, match="no snapshot manifests"):
         layout.remove_orphan_files(dest)
     assert layout.read_table.__name__  # module sanity
+
+
+# ---------------------------------------------------------- named refs -----
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path_factory):
+    """Iceberg table refs: a tag is an immutable named ref AND a
+    retention pin — expire_snapshots(keep_last=1) must keep the tagged
+    snapshot readable; drop_tag releases it."""
+    import pytest as _pt
+
+    root = str(tmp_path_factory.mktemp("refs") / "t")
+    df1 = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    df2 = spark.createDataFrame(
+        [("b", "2024-01-02 00:00:00", 2.0)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    layout.write_table(df1, root, key_col="url", ts_col="ts", n_buckets=2)
+    sid = layout.create_tag(root, "v1")
+    assert sid == 1 and layout.list_refs(root)["tags"] == {"v1": 1}
+    layout.write_table(
+        df2, root, key_col="url", ts_col="ts", n_buckets=2, mode="append"
+    )
+    # immutability: retargeting refused
+    with _pt.raises(ValueError, match="immutable"):
+        layout.create_tag(root, "v1")
+    stats = layout.expire_snapshots(root, keep_last=1)
+    assert stats["snapshots_removed"] == 0  # tag pinned snapshot 1
+    got = {r["url"] for r in layout.read_table(spark, root, tag="v1").collect()}
+    assert got == {"a"}
+    assert {
+        r["url"] for r in layout.read_table(spark, root).collect()
+    } == {"a", "b"}
+    # snapshot= and tag= are mutually exclusive; unknown tags raise
+    with _pt.raises(ValueError, match="not both"):
+        layout.read_table(spark, root, snapshot=1, tag="v1")
+    with _pt.raises(KeyError, match="no tag"):
+        layout.read_table(spark, root, tag="nope")
+    # dropping the tag releases the pin: expiry now removes snapshot 1
+    layout.drop_tag(root, "v1")
+    stats = layout.expire_snapshots(root, keep_last=1)
+    assert stats["snapshots_removed"] == 1
+    with _pt.raises(FileNotFoundError):
+        layout.load_snapshot(root, 1)
+
+
+def test_tag_of_explicit_snapshot_and_missing_snapshot(
+    spark, tmp_path_factory
+):
+    import pytest as _pt
+
+    root = str(tmp_path_factory.mktemp("refs2") / "t")
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    layout.write_table(df, root, key_col="url", ts_col="ts", n_buckets=2)
+    with _pt.raises(FileNotFoundError):
+        layout.create_tag(root, "ghost", snapshot_id=99)
+    assert layout.create_tag(root, "pin1", snapshot_id=1) == 1
