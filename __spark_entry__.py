@@ -1431,6 +1431,40 @@ def q_layout_tag_read(spark, sf_dir):
     )
 
 
+def q_layout_wap_publish(spark, sf_dir):
+    """Write-audit-publish (sources/pages.py branch writes +
+    fast_forward — Iceberg WAP): stage the odd event half on an audit
+    branch (invisible to main readers, checked mid-flight), validate
+    the staged read, publish via a CAS fast-forward, then read MAIN:
+    the full table."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+    from feast_spark.validation import expect
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_wap_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4,
+    )
+    n_even = layout.read_table(spark, root).count()
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+        branch="audit",
+    )
+    assert layout.read_table(spark, root).count() == n_even  # unpublished
+    staged = layout.read_table(spark, root, branch="audit")
+    expect(staged, [{"kind": "unique", "columns": ["event_id"]}])
+    layout.fast_forward(root, "audit")
+    return layout.read_table(spark, root).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (operators.sampling): k rows per
     stratum by portable md5 rank — reproducible on any cluster size /
@@ -2592,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         # -- NEW in round 4: Iceberg named refs (tags pin snapshots)
         "layout_tag_read": q_layout_tag_read,
+        # -- NEW in round 4: branch writes + write-audit-publish
+        "layout_wap_publish": q_layout_wap_publish,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
         "lang_id": q_lang_id,
@@ -3087,6 +3123,10 @@ def _oracles() -> dict[str, str]:
         "layout_tag_read": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events WHERE event_id % 2 = 0
+        """,
+        "layout_wap_publish": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events
         """,
         "online_store_lookup": """
             SELECT user_id, ts, round(value, 6) AS value

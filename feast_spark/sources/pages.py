@@ -85,6 +85,7 @@ def write_table(
     dt_granularity: str = "day",
     allow_spec_evolution: bool = False,
     distributed_stats: bool = False,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` into the layout at ``root``; returns the committed
     snapshot id.
@@ -94,10 +95,23 @@ def write_table(
     shuffle (repartition on the partition transforms) + an in-task sort,
     yielding exactly one (key, ts)-sorted file per (dt, bucket) slice of
     the incoming data.
+
+    ``branch`` (append-only): commit onto a named BRANCH instead of
+    HEAD — Iceberg's write-audit-publish staging. A new branch forks
+    from the current HEAD; readers of the main table never see branch
+    commits until ``fast_forward`` publishes them. Branch commits use
+    the same CAS primitive on the branch's own ref file, so concurrent
+    writers to one branch retry exactly like HEAD appends.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-    prev = current_snapshot(root) if mode == "append" else None
+    if branch is not None:
+        if mode != "append":
+            raise ValueError("branch writes are append-only (WAP staging)")
+        _check_ref_name(branch)
+        prev = branch_head(root, branch) or current_snapshot(root)
+    else:
+        prev = current_snapshot(root) if mode == "append" else None
     if mode == "append" and prev is None and os.path.isdir(
         os.path.join(root, DATA_DIR)
     ):
@@ -233,14 +247,28 @@ def write_table(
             "files": (prev["files"] if prev else []) + stats,
         }
         try:
-            _commit_snapshot(root, snapshot)
+            if branch is not None:
+                bh = branch_head(root, branch)
+                _commit_snapshot(
+                    root, snapshot,
+                    ref_name=_branch_ref(branch),
+                    ref_expected=(
+                        f"snap-{bh['snapshot_id']:06d}.json" if bh else None
+                    ),
+                )
+            else:
+                _commit_snapshot(root, snapshot)
             return snap_id
         except CommitConflict:
             if mode == "overwrite":
                 # an overwrite raced another writer across the dir swap —
                 # not retryable (the tree was replaced); surface it
                 raise
-            prev = current_snapshot(root)
+            prev = (
+                branch_head(root, branch) or current_snapshot(root)
+                if branch is not None
+                else current_snapshot(root)
+            )
             if prev is None:
                 raise  # concurrent overwrite dropped HEAD mid-append
             _validate_against_parent(
@@ -447,7 +475,16 @@ def next_snapshot_id(root: str, prev: dict | None) -> int:
     return highest + 1
 
 
-def _commit_snapshot(root: str, snapshot: dict) -> None:
+_REF_FROM_PARENT = object()  # sentinel: derive HEAD expectation from parent
+
+
+def _commit_snapshot(
+    root: str,
+    snapshot: dict,
+    *,
+    ref_name: str = "HEAD",
+    ref_expected=_REF_FROM_PARENT,
+) -> None:
     """Optimistic multi-writer commit (VERDICT r03 next #3), Iceberg's
     two-step reduced to the FileIO CAS primitive:
 
@@ -463,7 +500,12 @@ def _commit_snapshot(root: str, snapshot: dict) -> None:
 
     Both failure modes raise CommitConflict; append retries with
     revalidation inside write_table, rewrite ops (compact/upsert/zorder)
-    surface it to the caller for a re-run against the new state."""
+    surface it to the caller for a re-run against the new state.
+
+    ``ref_name``/``ref_expected``: commit onto a named branch ref file
+    instead of HEAD (write-audit-publish staging). ``ref_expected`` is
+    the branch's prior content (None = creating the branch); the default
+    sentinel keeps HEAD's parent-derived expectation."""
     io = get_io()
     meta = os.path.join(root, META_DIR)
     snap_name = f"snap-{snapshot['snapshot_id']:06d}.json"
@@ -474,15 +516,18 @@ def _commit_snapshot(root: str, snapshot: dict) -> None:
             f"snapshot id {snapshot['snapshot_id']} at {root} already "
             "claimed by a concurrent writer"
         )
-    parent = snapshot.get("parent")
-    expected = f"snap-{parent:06d}.json" if parent is not None else None
+    if ref_expected is _REF_FROM_PARENT:
+        parent = snapshot.get("parent")
+        expected = f"snap-{parent:06d}.json" if parent is not None else None
+    else:
+        expected = ref_expected
     if not io.write_conditional(
-        os.path.join(meta, "HEAD"), snap_name, expected
+        os.path.join(meta, ref_name), snap_name, expected
     ):
         io.remove(os.path.join(meta, snap_name))  # never became visible
         raise CommitConflict(
-            f"concurrent commit at {root}: HEAD moved past parent "
-            f"{parent!r}; revalidate against the current snapshot"
+            f"concurrent commit at {root}: ref {ref_name!r} moved past "
+            f"{expected!r}; revalidate against the current snapshot"
         )
 
 
@@ -729,6 +774,87 @@ def _refs_path(root: str) -> str:
     return os.path.join(root, META_DIR, "refs.json")
 
 
+def _check_ref_name(name: str) -> None:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]*", name):
+        raise ValueError(f"invalid ref name {name!r}")
+
+
+def _branch_ref(name: str) -> str:
+    return f"BRANCH-{name}"
+
+
+def branch_head(root: str, name: str) -> dict | None:
+    """The snapshot a branch ref points at, or None (no such branch)."""
+    p = os.path.join(root, META_DIR, _branch_ref(name))
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return load_snapshot(root, f.read().strip())
+
+
+def list_branches(root: str) -> dict:
+    meta = os.path.join(root, META_DIR)
+    out = {}
+    if os.path.isdir(meta):
+        for n in os.listdir(meta):
+            if n.startswith("BRANCH-"):
+                with open(os.path.join(meta, n)) as f:
+                    out[n[len("BRANCH-"):]] = int(f.read().strip()[5:-5])
+    return out
+
+
+def drop_branch(root: str, name: str) -> None:
+    p = os.path.join(root, META_DIR, _branch_ref(name))
+    if not os.path.exists(p):
+        raise KeyError(f"no branch {name!r} at {root}")
+    get_io().remove(p)
+
+
+def fast_forward(root: str, branch: str) -> int:
+    """PUBLISH step of write-audit-publish: point HEAD at a branch's
+    snapshot. Requires the current HEAD to be an ANCESTOR of the branch
+    head (the branch forked from it and only appended) — a diverged
+    main (someone committed to HEAD since the fork) refuses, exactly
+    like git's fast-forward-only merge; re-stage the branch on the new
+    HEAD instead. The flip is one CAS on HEAD (expected = current head),
+    so a concurrent main commit loses the race loudly. The branch ref
+    survives (drop it when done). Returns the new HEAD snapshot id."""
+    bh = branch_head(root, branch)
+    if bh is None:
+        raise KeyError(f"no branch {branch!r} at {root}")
+    head = current_snapshot(root)
+    head_id = head["snapshot_id"] if head else None
+    # ancestry walk: branch head -> parents, must pass through HEAD
+    cur: dict | None = bh
+    while cur is not None:
+        if cur["snapshot_id"] == head_id:
+            break
+        cur = (
+            load_snapshot(root, cur["parent"])
+            if cur.get("parent") is not None
+            else None
+        )
+        if cur is None and head_id is not None:
+            raise CommitConflict(
+                f"cannot fast-forward {branch!r}: HEAD "
+                f"{head_id} is not an ancestor of branch head "
+                f"{bh['snapshot_id']} (main diverged; re-stage the branch)"
+            )
+    expected = f"snap-{head_id:06d}.json" if head_id is not None else None
+    if not get_io().write_conditional(
+        os.path.join(root, META_DIR, "HEAD"),
+        f"snap-{bh['snapshot_id']:06d}.json",
+        expected,
+    ):
+        raise CommitConflict(
+            f"fast-forward of {branch!r} lost a race: HEAD moved past "
+            f"{head_id}; re-check ancestry and retry"
+        )
+    return bh["snapshot_id"]
+
+
 def list_refs(root: str) -> dict:
     """Named refs on the table (Iceberg table refs): currently immutable
     TAGS — {"tags": {name: snapshot_id}}."""
@@ -799,7 +925,10 @@ def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
         if n.startswith("snap-") and n.endswith(".json")
     )
     survivors = snaps[-keep_last:]
-    for sid in list_refs(root)["tags"].values():
+    pins = list(list_refs(root)["tags"].values()) + list(
+        list_branches(root).values()
+    )
+    for sid in pins:
         pinned = f"snap-{sid:06d}.json"
         if pinned in snaps and pinned not in survivors:
             survivors.append(pinned)
@@ -929,6 +1058,7 @@ def read_table(
     *,
     snapshot: int | None = None,
     tag: str | None = None,
+    branch: str | None = None,
     start=None,
     end=None,
     buckets: set[int] | None = None,
@@ -940,12 +1070,19 @@ def read_table(
     basePath, so Spark does not project partition columns).
     ``col_ranges`` prunes on per-column manifest stats; the caller still
     applies the exact predicate (pruning returns a superset).
-    ``tag`` reads the snapshot a named ref pins (Iceberg
-    ``VERSION AS OF 'tag'``) — mutually exclusive with ``snapshot``."""
+    ``tag``/``branch`` read the snapshot a named ref pins (Iceberg
+    ``VERSION AS OF``) — mutually exclusive with each other and with
+    ``snapshot``; an audit step reads ``branch=`` to validate staged
+    commits before ``fast_forward`` publishes them."""
+    if sum(x is not None for x in (snapshot, tag, branch)) > 1:
+        raise ValueError("pass at most one of snapshot / tag / branch")
     if tag is not None:
-        if snapshot is not None:
-            raise ValueError("pass snapshot OR tag, not both")
         snapshot = resolve_tag(root, tag)
+    if branch is not None:
+        bh = branch_head(root, branch)
+        if bh is None:
+            raise KeyError(f"no branch {branch!r} at {root}")
+        snapshot = bh["snapshot_id"]
     snap, files = plan_files(
         root, snapshot=snapshot, start=start, end=end, buckets=buckets,
         col_ranges=col_ranges,

@@ -761,7 +761,7 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path_factory):
         r["url"] for r in layout.read_table(spark, root).collect()
     } == {"a", "b"}
     # snapshot= and tag= are mutually exclusive; unknown tags raise
-    with _pt.raises(ValueError, match="not both"):
+    with _pt.raises(ValueError, match="at most one"):
         layout.read_table(spark, root, snapshot=1, tag="v1")
     with _pt.raises(KeyError, match="no tag"):
         layout.read_table(spark, root, tag="nope")
@@ -786,3 +786,67 @@ def test_tag_of_explicit_snapshot_and_missing_snapshot(
     with _pt.raises(FileNotFoundError):
         layout.create_tag(root, "ghost", snapshot_id=99)
     assert layout.create_tag(root, "pin1", snapshot_id=1) == 1
+
+
+def test_write_audit_publish_branch_flow(spark, tmp_path_factory):
+    """WAP: stage appends on a branch (invisible to main readers), audit
+    the branch read, fast_forward publishes atomically; a diverged main
+    refuses the fast-forward."""
+    import pytest as _pt
+
+    root = str(tmp_path_factory.mktemp("wap") / "t")
+    mk = lambda url, ts, v: spark.createDataFrame(  # noqa: E731
+        [(url, ts, v)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    layout.write_table(
+        mk("a", "2024-01-01 00:00:00", 1.0), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    # stage two appends on the audit branch
+    layout.write_table(
+        mk("b", "2024-01-02 00:00:00", 2.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+        branch="audit",
+    )
+    layout.write_table(
+        mk("c", "2024-01-03 00:00:00", 3.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+        branch="audit",
+    )
+    # main readers see none of it; branch readers see all of it
+    assert {r["url"] for r in layout.read_table(spark, root).collect()} == {"a"}
+    staged = layout.read_table(spark, root, branch="audit")
+    assert {r["url"] for r in staged.collect()} == {"a", "b", "c"}
+    # audit step: validate the STAGED state before publishing
+    from feast_spark.validation import expect
+
+    expect(staged, [{"kind": "unique", "columns": ["url"]},
+                    {"kind": "row_count_min", "value": 3}])
+    # publish
+    new_head = layout.fast_forward(root, "audit")
+    assert layout.current_snapshot(root)["snapshot_id"] == new_head
+    assert {
+        r["url"] for r in layout.read_table(spark, root).collect()
+    } == {"a", "b", "c"}
+    layout.drop_branch(root, "audit")
+    assert layout.list_branches(root) == {}
+
+    # diverged main: fork a branch, commit to MAIN, fast-forward refuses
+    layout.write_table(
+        mk("d", "2024-01-04 00:00:00", 4.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+        branch="audit2",
+    )
+    layout.write_table(
+        mk("e", "2024-01-05 00:00:00", 5.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+    )
+    with _pt.raises(layout.CommitConflict, match="not an ancestor"):
+        layout.fast_forward(root, "audit2")
+    # branch heads pin expiry like tags
+    stats = layout.expire_snapshots(root, keep_last=1)
+    assert layout.branch_head(root, "audit2") is not None
+    assert {
+        r["url"]
+        for r in layout.read_table(spark, root, branch="audit2").collect()
+    } == {"a", "b", "c", "d"}
