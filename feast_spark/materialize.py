@@ -71,14 +71,23 @@ class MaterializeJob:
         self._layout_key: str | None = None
         if n_buckets is None:
             if self._layout_root:
-                n_buckets = layout.current_snapshot(self._layout_root)["n_buckets"]
+                n_buckets = self._layout_snap()["n_buckets"]
             else:
                 n_buckets = layout.DEFAULT_BUCKETS
         self.n_buckets = n_buckets
         if self._layout_root:
-            self._layout_key = layout.current_snapshot(self._layout_root)[
-                "key_col"
-            ]
+            self._layout_key = self._layout_snap()["key_col"]
+
+    def _layout_snap(self) -> dict:
+        """The layout snapshot this job reads: the view's pinned ref when
+        set (reproducible re-materialization of a corpus release), else
+        the current HEAD."""
+        ref = getattr(self.view, "ref", None)
+        if ref:
+            return layout.load_snapshot(
+                self._layout_root, layout.resolve_tag(self._layout_root, ref)
+            )
+        return layout.current_snapshot(self._layout_root)
 
     #: constant key column injected for entity-less (global) views —
     #: upstream's DUMMY_ENTITY; the whole view serves one latest row
@@ -108,7 +117,7 @@ class MaterializeJob:
 
                 from pyspark.sql import types as T
 
-                snap = layout.current_snapshot(self._layout_root)
+                snap = self._layout_snap()
                 schema = T.StructType.fromJson(json.loads(snap["schema"]))
             else:
                 schema = self.view.load(self.spark).schema
@@ -123,7 +132,7 @@ class MaterializeJob:
     # -- source ----------------------------------------------------------
     def _input_snapshot(self) -> int | None:
         if self._layout_root:
-            return layout.current_snapshot(self._layout_root)["snapshot_id"]
+            return self._layout_snap()["snapshot_id"]
         return None
 
     def _scan(self, start, end, buckets: list[int]) -> DataFrame:
@@ -155,9 +164,11 @@ class MaterializeJob:
             # composite or remapped key hashes differently, so those
             # scans prune on time range alone and filter below.
             prunable = keys == [self._layout_key]
+            ref = getattr(self.view, "ref", None)
             df = layout.read_table(
                 self.spark,
                 self._layout_root,
+                snapshot=self._layout_snap()["snapshot_id"] if ref else None,
                 start=scan_start,
                 end=end,
                 buckets=set(buckets) if prunable else None,

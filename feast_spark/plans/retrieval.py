@@ -128,9 +128,10 @@ def plan_retrieval(
         fv = store.get_view(view_name)
         snap = None
         if fv.layout_root:
-            from feast_spark.sources.pages import current_snapshot
-
-            snap = current_snapshot(fv.layout_root)
+            # the pinned ref's snapshot when the view carries one — the
+            # manifest used for pruning/skew stats must describe the
+            # same files the scan reads
+            snap = fv.layout_snapshot()
         chosen = strategy or choose_strategy(
             entity_df, probe_n, layout_backed=fv.layout_root is not None
         )

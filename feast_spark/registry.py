@@ -94,6 +94,10 @@ class FeatureView:
     created_timestamp_column: str | None = None
     field_mapping: dict[str, str] = field(default_factory=dict)
     aggregations: list[Aggregation] = field(default_factory=list)
+    #: named layout ref (tag) pinning this view to a corpus release:
+    #: retrieval and materialization read the PINNED snapshot even as the
+    #: table's HEAD advances — reproducible training sets by construction
+    ref: str | None = None
 
     @property
     def entities(self) -> "list[Entity]":
@@ -127,10 +131,14 @@ class FeatureView:
         if callable(self.source):
             df = self.source(spark)
         elif self.layout_root:
-            from feast_spark.sources.pages import read_table
+            from feast_spark.sources.pages import read_table, resolve_tag
 
+            kw = {}
+            if self.ref:
+                kw["snapshot"] = resolve_tag(self.layout_root, self.ref)
             df = read_table(
-                spark, self.layout_root, start=start, end=end, buckets=buckets
+                spark, self.layout_root, start=start, end=end,
+                buckets=buckets, **kw,
             )
         else:
             df = spark.read.parquet(str(self.source))
@@ -144,6 +152,23 @@ class FeatureView:
                 F.col(self.created_timestamp_column).cast("timestamp"),
             )
         return df
+
+    def layout_snapshot(self) -> dict | None:
+        """The snapshot this view READS: the pinned ``ref``'s when set,
+        else the table's current HEAD. None for non-layout sources.
+        Planners must use this (not ``current_snapshot``) so manifest
+        pruning / skew stats describe the same files the scan reads."""
+        if not self.layout_root:
+            return None
+        from feast_spark.sources.pages import (
+            current_snapshot, load_snapshot, resolve_tag,
+        )
+
+        if self.ref:
+            return load_snapshot(
+                self.layout_root, resolve_tag(self.layout_root, self.ref)
+            )
+        return current_snapshot(self.layout_root)
 
     @property
     def max_agg_window(self) -> timedelta | None:
@@ -434,6 +459,7 @@ class FeatureStore:
                         )
                         for a in v.get("aggregations", [])
                     ],
+                    ref=v.get("ref"),
                 )
                 self._views[fv.name] = fv
             for o in meta.get("odfvs", []):
@@ -480,6 +506,7 @@ class FeatureStore:
                         }
                         for a in fv.aggregations
                     ],
+                    "ref": fv.ref,
                 }
             )
         odfvs = []

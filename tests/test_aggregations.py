@@ -194,3 +194,61 @@ def test_registry_roundtrip_and_validation(spark, tmp_path_factory):
     reloaded = FeatureStore(spark, root=root).get_view("evp")
     assert reloaded.aggregations == aggs
     assert reloaded.max_agg_window == timedelta(days=1)
+
+
+def test_pinned_ref_view_reads_release_through_head_advance(
+    spark, tmp_path_factory
+):
+    """FeatureView(ref='tag') pins retrieval AND materialization to a
+    corpus release: after more commits advance HEAD, the pinned view
+    still reads (and serves) only the tagged snapshot's rows, while an
+    unpinned twin follows HEAD. Registry round-trip preserves the pin."""
+    from datetime import datetime
+
+    from feast_spark.materialize import MaterializeJob, read_online
+    from feast_spark.sources import pages as layout
+
+    root = str(tmp_path_factory.mktemp("pin") / "t")
+    mk = lambda url, ts, v: spark.createDataFrame(  # noqa: E731
+        [(url, ts, v)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    layout.write_table(
+        mk("a", "2024-01-01 00:00:00", 1.0), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    layout.create_tag(root, "rel1")
+    layout.write_table(
+        mk("b", "2024-01-02 00:00:00", 2.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+    )
+    feats = [FeatureSpec("v", "double")]
+    pinned = FeatureView(
+        name="pv", entity=Entity("url", "url"), source=root,
+        features=feats, timestamp_field="ts", ref="rel1",
+    )
+    live = FeatureView(
+        name="lv", entity=Entity("url", "url"), source=root,
+        features=feats, timestamp_field="ts",
+    )
+    reg_root = str(tmp_path_factory.mktemp("pinreg"))
+    store = FeatureStore(spark, root=reg_root)
+    store.apply([pinned, live])
+    probes = spark.createDataFrame(
+        [("a", "2024-02-01 00:00:00"), ("b", "2024-02-01 00:00:00")],
+        "url string, ts string",
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"))
+    got_pin = store.get_historical_features(probes, ["pv:v"], strategy="union")
+    got_live = store.get_historical_features(probes, ["lv:v"], strategy="union")
+    pin = {r["url"]: r["v"] for r in got_pin.collect()}
+    liv = {r["url"]: r["v"] for r in got_live.collect()}
+    assert pin == {"a": 1.0, "b": None}  # b is post-release, invisible
+    assert liv == {"a": 1.0, "b": 2.0}
+    # registry round-trip preserves the pin
+    assert FeatureStore(spark, root=reg_root).get_view("pv").ref == "rel1"
+    # materialization of the pinned view serves only release rows, and
+    # records the PINNED snapshot in lineage
+    dest = str(tmp_path_factory.mktemp("pin") / "store")
+    MaterializeJob(spark, pinned, dest, n_buckets=2).run(
+        datetime(2023, 12, 1), datetime(2024, 3, 1)
+    )
+    assert {r["url"] for r in read_online(spark, dest).collect()} == {"a"}
