@@ -766,6 +766,32 @@ def q_bpe_token_count(spark, sf_dir):
     return d.select("doc_id", n_tokens_bpe_ish("text").alias("n_bpe_tokens"))
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Trained-BPE step 1, the corpus-scale pass: word histogram top-50
+    by (count desc, word asc) — the bounded table the merge loop trains
+    on (operators/bpe.py)."""
+    from feast_spark.operators.bpe import word_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return word_histogram(d, "text", max_words=50)
+
+
+def q_bpe_encode_trained(spark, sf_dir):
+    """Trained-BPE end-to-end: train 200 merges from the corpus
+    histogram, encode every document with the Arrow kernel (rows-only:
+    BPE merge application is not SQL-expressible; the encoder is pinned
+    to a pure-Python reference in tests/test_bpe.py)."""
+    from feast_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    model = bpe.train_bpe(d, "text", num_merges=200, max_words=20_000)
+    return bpe.bpe_encode(d, model, "text").select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.element_at("bpe_tokens", 1).alias("first_token"),
+    )
+
+
 def q_fingerprint_clusters(spark, sf_dir):
     """Document fingerprinting (rolling-hash-grade exact dedup): cluster
     sizes must equal grouping by the normalized text itself (the hash is
@@ -2619,6 +2645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 4: DSIR importance resampling
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        # -- NEW in round 4: trained BPE (histogram oracle-checked;
+        # encode rows-only, reference-pinned in tests/test_bpe.py)
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode_trained": q_bpe_encode_trained,
         # -- NEW in round 4: declared Aggregation specs (upstream
         # feast/aggregation.py) through PIT retrieval
         "agg_feature_view": q_agg_feature_view,
@@ -3654,6 +3684,18 @@ def _oracles() -> dict[str, str]:
                      text, '([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])', 1))
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "bpe_vocab": r"""
+            SELECT word, count(*)::BIGINT AS n
+            FROM (
+              SELECT unnest(regexp_extract_all(
+                       text, '([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])', 1)) AS word
+              FROM documents
+              WHERE text IS NOT NULL
+            )
+            GROUP BY word
+            ORDER BY n DESC, word ASC
+            LIMIT 50
         """,
         "fingerprint_clusters": r"""
             WITH dup AS (
