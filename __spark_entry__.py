@@ -766,6 +766,42 @@ def q_bpe_token_count(spark, sf_dir):
     return d.select("doc_id", n_tokens_bpe_ish("text").alias("n_bpe_tokens"))
 
 
+def q_warc_ingest(spark, sf_dir):
+    """WARC ingestion round-trip (sources/warc.py): the documents table
+    is serialized to Common-Crawl-layout WARC segments (per-record gzip
+    members, deterministic writer) and read back through the streaming
+    one-task-per-file reader — url/date/text must reproduce the table
+    exactly (the oracle reconstructs the url/date mapping in SQL)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from feast_spark.sources import warc
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    ).sort_by("doc_id")
+    rows = tbl.to_pylist()
+    d = tempfile.mkdtemp(prefix="fs_warc_")
+    files = []
+    n_seg = 4  # several segments so the read fans out like a real crawl
+    for s in range(n_seg):
+        seg = [
+            {
+                "url": f"doc://{r['doc_id']}",
+                "date": f"2024-01-{(r['doc_id'] % 28) + 1:02d}T00:00:00Z",
+                "text": r["text"],
+            }
+            for r in rows
+            if r["doc_id"] % n_seg == s
+        ]
+        p = os.path.join(d, f"seg-{s}.warc.gz")
+        warc.write_warc_file(seg, p)
+        files.append(p)
+    return warc.read_wet(spark, files).select("url", "warc_date", "text")
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Trained-BPE step 1, the corpus-scale pass: word histogram top-50
     by (count desc, word asc) — the bounded table the merge loop trains
@@ -2649,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encode rows-only, reference-pinned in tests/test_bpe.py)
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_trained": q_bpe_encode_trained,
+        # -- NEW in round 4: WARC/WET ingestion round-trip
+        "warc_ingest": q_warc_ingest,
         # -- NEW in round 4: declared Aggregation specs (upstream
         # feast/aggregation.py) through PIT retrieval
         "agg_feature_view": q_agg_feature_view,
@@ -3683,6 +3721,13 @@ def _oracles() -> dict[str, str]:
                    len(regexp_extract_all(
                      text, '([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])', 1))
                      AS n_bpe_tokens
+            FROM documents
+        """,
+        "warc_ingest": r"""
+            SELECT 'doc://' || doc_id AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL ((doc_id % 28)) DAY AS warc_date,
+                   text
             FROM documents
         """,
         "bpe_vocab": r"""
