@@ -1493,6 +1493,33 @@ def q_layout_tag_read(spark, sf_dir):
     )
 
 
+def q_layout_incremental(spark, sf_dir):
+    """Iceberg incremental append scan (sources/pages.py
+    read_table_incremental): commit the even half, remember that
+    snapshot (the downstream checkpoint), append the odd half, then
+    read ONLY the delta — the daily-delta job shape that never rescans
+    the corpus. Oracle = the odd half."""
+    import tempfile
+
+    from feast_spark.sources import pages as layout
+
+    root = os.path.join(tempfile.mkdtemp(prefix="fs_incr_"), "t")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    s1 = layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 0), root,
+        key_col="user_id", ts_col="ts", n_buckets=4,
+    )
+    layout.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+    )
+    return layout.read_table_incremental(spark, root, s1).select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 def q_layout_wap_publish(spark, sf_dir):
     """Write-audit-publish (sources/pages.py branch writes +
     fast_forward — Iceberg WAP): stage the odd event half on an audit
@@ -2694,6 +2721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         # -- NEW in round 4: Iceberg named refs (tags pin snapshots)
         "layout_tag_read": q_layout_tag_read,
+        # -- NEW in round 4: incremental append scan (snapshot delta)
+        "layout_incremental": q_layout_incremental,
         # -- NEW in round 4: branch writes + write-audit-publish
         "layout_wap_publish": q_layout_wap_publish,
         "push_online": q_push_online,
@@ -3191,6 +3220,10 @@ def _oracles() -> dict[str, str]:
         "layout_tag_read": """
             SELECT event_id, user_id, ts, round(value, 6) AS value
             FROM events WHERE event_id % 2 = 0
+        """,
+        "layout_incremental": """
+            SELECT event_id, user_id, ts, round(value, 6) AS value
+            FROM events WHERE event_id % 2 = 1
         """,
         "layout_wap_publish": """
             SELECT event_id, user_id, ts, round(value, 6) AS value

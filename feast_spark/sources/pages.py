@@ -1094,6 +1094,93 @@ def read_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def added_files(
+    root: str, from_snapshot: int, to_snapshot: int | None = None
+) -> tuple[dict, list[dict]]:
+    """File stats appended strictly AFTER ``from_snapshot`` up to and
+    including ``to_snapshot`` (default HEAD) — Iceberg's incremental
+    append scan. Walks the parent chain and, like Iceberg, refuses if
+    any snapshot in the range is not an ``append``: overwrite/compact/
+    upsert/delete rewrite rows, so "the new files" no longer means "the
+    new rows" and the caller must fall back to a full diff or a
+    changelog. Raises if the chain is broken (an intermediate snapshot
+    was expired) or ``from_snapshot`` is not an ancestor."""
+    snap = (
+        current_snapshot(root)
+        if to_snapshot is None
+        else load_snapshot(root, to_snapshot)
+    )
+    if snap is None:
+        raise FileNotFoundError(f"no table at {root}")
+    # walk the parent chain first (ancestry before op checks, so a bad
+    # from_snapshot reports "not an ancestor", not a misleading op error)
+    chain: list[tuple[dict, dict]] = []  # (snapshot, its parent)
+    cur = snap
+    while cur["snapshot_id"] != from_snapshot:
+        parent = cur.get("parent")
+        if parent is None:
+            raise ValueError(
+                f"snapshot {from_snapshot} is not an ancestor of "
+                f"{snap['snapshot_id']} at {root}"
+            )
+        try:
+            prev = load_snapshot(root, parent)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot chain broken at {parent} (expired?); "
+                f"incremental read from {from_snapshot} is not possible"
+            ) from None
+        chain.append((cur, prev))
+        cur = prev
+    added: list[dict] = []
+    for cur, prev in chain:
+        if cur.get("operation") != "append":
+            raise ValueError(
+                f"incremental read requires append-only history; snapshot "
+                f"{cur['snapshot_id']} is {cur.get('operation')!r}"
+            )
+        prev_paths = {f["path"] for f in prev["files"]}
+        added.extend(f for f in cur["files"] if f["path"] not in prev_paths)
+    return snap, added
+
+
+def read_table_incremental(
+    spark: SparkSession,
+    root: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    *,
+    start=None,
+    end=None,
+    buckets: set[int] | None = None,
+) -> DataFrame:
+    """Rows appended after ``from_snapshot`` (exclusive) up to
+    ``to_snapshot``/HEAD (inclusive) — the consumer side of
+    checkpointed pipelines: a downstream job remembers the snapshot it
+    last processed and reads ONLY the new files, never rescanning the
+    corpus (at 100 TB the difference between a daily-delta job and a
+    daily full scan). Composes with the same time/bucket pruning as
+    ``read_table``; append-only ranges are enforced (see
+    ``added_files``)."""
+    snap, files = added_files(root, from_snapshot, to_snapshot)
+    start_s = _ts_str(start)
+    end_s = _ts_str(end)
+    keep = []
+    for fstat in files:
+        if buckets is not None and fstat["bucket"] not in buckets:
+            continue
+        if start_s and fstat["max_ts"] and fstat["max_ts"] < start_s:
+            continue
+        if end_s and fstat["min_ts"] and fstat["min_ts"] >= end_s:
+            continue
+        keep.append(fstat)
+    schema = T.StructType.fromJson(json.loads(snap["schema"]))
+    if not keep:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(root, f["path"]) for f in keep]
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def buckets_of_keys(
     spark: SparkSession, keys: list, n_buckets: int,
     key_type: str | None = None,
