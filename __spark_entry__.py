@@ -867,6 +867,39 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_vector_retrieval(spark, sf_dir):
+    """Vector-online-store serving surface (registry.py
+    FeatureStore.retrieve_online_documents — upstream Feast's
+    retrieve_online_documents): FeatureSpec(vector_index=True) view
+    over the embeddings table, persisted index via build_vector_index,
+    single-query top-k (rows-only like the other LSH entries; the
+    serving path is pinned semantically in tests/test_vector_store.py:
+    planted-cluster recall, latest-per-key indexing, store
+    enrichment)."""
+    import tempfile
+
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding",
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+    )
+    fs = FeatureStore(spark, root=tempfile.mkdtemp(prefix="fs_vec_"))
+    fs.apply(
+        FeatureView(
+            name="vecs", entity=Entity("vec", "vec_id"), source=lambda s: e,
+            features=[FeatureSpec("embedding", "array<float>",
+                                  vector_index=True, vector_dim=64)],
+            timestamp_field="ts",
+        )
+    )
+    fs.build_vector_index("vecs", n_bits=4, n_tables=4, n_buckets=32)
+    qvec = [r["embedding"] for r in e.filter(F.col("vec_id") == 0).collect()][0]
+    return fs.retrieve_online_documents("vecs", qvec, top_k=5).select(
+        "vec_id", F.round("distance", 4).alias("distance")
+    )
+
+
 def q_ann_index_topk(spark, sf_dir):
     """Persisted-ANN serving (rows-only: hyperplane LSH has no portable
     SQL twin): build the LSH signature index as a layout table, then
@@ -2679,6 +2712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         # NEW in round 4: served from the persisted LSH index (next #7)
         "ann_index_topk": q_ann_index_topk,
+        # NEW in round 4: retrieve_online_documents serving surface
+        "vector_retrieval": q_vector_retrieval,
         # NEW in round 4: IVF coarse-quantizer ANN (oracle-checked via
         # the exhaustive-probe == brute-force identity) + persisted twin
         "ivf_topk": q_ivf_topk,

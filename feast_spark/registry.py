@@ -29,10 +29,21 @@ class Entity:
 
 @dataclass(frozen=True)
 class FeatureSpec:
-    """A typed feature column (upstream feast/field.py / types.py)."""
+    """A typed feature column (upstream feast/field.py / types.py).
+
+    ``vector_index=True`` marks an embedding feature as searchable
+    (upstream Field(vector_index=True, vector_search_metric=...) —
+    the vector-online-store surface): ``FeatureStore.build_vector_index``
+    persists an ANN index for it and ``retrieve_online_documents``
+    serves top-k. ``vector_dim`` is required for indexed features
+    (hyperplane config is dimension-typed); ``similarity`` documents
+    the metric (cosine is what the LSH family supports)."""
 
     name: str
     dtype: str  # Spark simpleString: "double", "bigint", "string", "array<float>"
+    vector_index: bool = False
+    vector_dim: int | None = None
+    similarity: str = "cosine"
 
 
 _AGG_FUNCTIONS = frozenset(
@@ -108,6 +119,24 @@ class FeatureView:
         """All entity join keys (upstream: a view referencing several
         entities joins on every key)."""
         return [e.join_key for e in self.entities]
+
+    def vector_feature(self) -> FeatureSpec:
+        """The single vector-indexed feature of this view; raises when
+        none or several are marked (one index per view — upstream's
+        online stores index one vector field per view)."""
+        vecs = [s for s in self.features if s.vector_index]
+        if not vecs:
+            raise ValueError(f"view {self.name!r} has no vector_index feature")
+        if len(vecs) > 1:
+            raise ValueError(
+                f"view {self.name!r} marks {len(vecs)} vector_index "
+                "features; exactly one is supported"
+            )
+        if not vecs[0].vector_dim:
+            raise ValueError(
+                f"vector feature {vecs[0].name!r} needs vector_dim"
+            )
+        return vecs[0]
 
     @property
     def layout_root(self) -> str | None:
@@ -773,6 +802,99 @@ class FeatureStore:
                 log_to
             )
         return out
+
+    # -- vector search --------------------------------------------------
+    def _vector_index_root(self, view_name: str, index_root: str | None) -> str:
+        if index_root:
+            return index_root
+        if not self.root:
+            raise ValueError(
+                "in-memory store: pass index_root= to vector-index calls"
+            )
+        return os.path.join(self.root, "indexes", view_name)
+
+    def build_vector_index(
+        self,
+        view_name: str,
+        *,
+        index_root: str | None = None,
+        corpus_count: int | None = None,
+        **knobs,
+    ) -> str:
+        """Persist an ANN index for the view's ``vector_index`` feature
+        (upstream: the vector-online-store write path). Indexes the
+        LATEST embedding per entity key (the serving semantic — same
+        latest_per_key core as materialization), then delegates to
+        ``operators.similarity.build_ann_index`` (LSH signatures as a
+        layout table: CAS commits, bucket-pruned point lookups).
+        ``corpus_count`` sizes (n_bits, n_tables) for target bucket
+        occupancy; extra ``knobs`` pass through. Returns the index
+        root (rebuildable in place — layout overwrite semantics)."""
+        from feast_spark.operators.similarity import build_ann_index
+        from feast_spark.operators.windows import latest_per_key
+
+        fv = self.get_view(view_name)
+        spec = fv.vector_feature()
+        if len(fv.join_keys) != 1:
+            raise ValueError(
+                "vector retrieval needs a single-entity view "
+                f"({view_name!r} has keys {fv.join_keys})"
+            )
+        key = fv.join_keys[0]
+        latest = latest_per_key(
+            fv.load(self.spark), key=key, order=fv.timestamp_field,
+            created_col=fv.created_timestamp_column,
+        ).select(key, spec.name)
+        root = self._vector_index_root(view_name, index_root)
+        build_ann_index(
+            latest, root, dim=spec.vector_dim, id_col=key,
+            vec_col=spec.name, corpus_count=corpus_count, **knobs,
+        )
+        return root
+
+    def retrieve_online_documents(
+        self,
+        view_name: str,
+        query: list[float],
+        *,
+        top_k: int = 10,
+        index_root: str | None = None,
+        store_path: str | None = None,
+        features: list[str] | None = None,
+    ) -> DataFrame:
+        """Top-k entities by cosine similarity to ``query`` (upstream
+        ``FeatureStore.retrieve_online_documents``). Serves from the
+        PERSISTED index — the query vector hashes with the index's
+        stored hyperplane config, touched signature buckets prune via
+        the manifest, so a point lookup reads ~n_tables/n_buckets of
+        the index and never scans the corpus. Returns (join_key,
+        distance) rows, optionally enriched with ``features`` from the
+        view's materialized online store at ``store_path`` (the served
+        values, TTL semantics and all)."""
+        from feast_spark.operators.similarity import ann_index_topk
+
+        fv = self.get_view(view_name)
+        key = fv.join_keys[0]
+        root = self._vector_index_root(view_name, index_root)
+        q = self.spark.createDataFrame(
+            [(0, [float(x) for x in query])],
+            "query_id bigint, embedding array<double>",
+        )
+        res = (
+            ann_index_topk(q, root, k=top_k)
+            .drop("query_id")
+            .withColumnRenamed("cosine", "distance")
+        )
+        from pyspark.sql import functions as F
+
+        if store_path or features:
+            if not store_path:
+                raise ValueError("features= enrichment needs store_path=")
+            keys = [r[key] for r in res.select(key).collect()]
+            served = self.get_online_features(store_path, keys, key_col=key)
+            cols = [key] + (features or [c for c in served.columns if c != key])
+            res = res.join(served.select(*cols), key, "left")
+        return res.orderBy(F.col("distance").desc(), F.col(key).asc())
 
     def materialize(self, view_name: str, start, end, dest: str, **kw):
         from feast_spark.materialize import MaterializeJob
