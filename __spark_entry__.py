@@ -802,6 +802,61 @@ def q_warc_ingest(spark, sf_dir):
     return warc.read_wet(spark, files).select("url", "warc_date", "text")
 
 
+def q_warc_stream_ingest(spark, sf_dir):
+    """Continuous crawl ingestion (sources/warc.py stream_warc_dir):
+    segments drop into a directory, a checkpointed file-discovery
+    stream parses ONLY new ones and appends to the layout with a
+    per-batch exactly-once ledger. Real availableNow runs: first 3
+    segments, then a 4th arrives and a second run ingests only the
+    delta — the final table must reproduce every document exactly
+    (same oracle mapping as warc_ingest)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from feast_spark.sources import pages as layout
+    from feast_spark.sources import warc
+
+    rows = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id").to_pylist()
+    base = tempfile.mkdtemp(prefix="fs_warcstream_")
+    drop = os.path.join(base, "drop")
+    os.makedirs(drop)
+    dest = os.path.join(base, "tbl")
+    ckpt = os.path.join(base, "ckpt")
+
+    def write_seg(s, n_seg):
+        warc.write_warc_file(
+            [
+                {
+                    "url": f"doc://{r['doc_id']}",
+                    "date": f"2024-01-{(r['doc_id'] % 28) + 1:02d}T00:00:00Z",
+                    "text": r["text"],
+                }
+                for r in rows
+                if r["doc_id"] % n_seg == s
+            ],
+            os.path.join(drop, f"seg-{s}.warc.gz"),
+        )
+
+    def wet_cols(df):
+        return df.filter(F.col("warc_type") == "conversion").select(
+            "url", "warc_date", "text"
+        )
+
+    for s in range(3):  # segments 0-2 of a mod-4 split
+        write_seg(s, 4)
+    warc.stream_warc_dir(
+        spark, drop, dest, checkpoint=ckpt, transform=wet_cols, n_buckets=4
+    ).awaitTermination(300)
+    write_seg(3, 4)  # the late segment
+    warc.stream_warc_dir(
+        spark, drop, dest, checkpoint=ckpt, transform=wet_cols, n_buckets=4
+    ).awaitTermination(300)
+    return layout.read_table(spark, dest).select("url", "warc_date", "text")
+
+
 def q_bpe_vocab(spark, sf_dir):
     """Trained-BPE step 1, the corpus-scale pass: word histogram top-50
     by (count desc, word asc) — the bounded table the merge loop trains
@@ -2747,8 +2802,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # encode rows-only, reference-pinned in tests/test_bpe.py)
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_trained": q_bpe_encode_trained,
-        # -- NEW in round 4: WARC/WET ingestion round-trip
+        # -- NEW in round 4: WARC/WET ingestion round-trip + streaming
+        # directory ingestion (exactly-once segment appends)
         "warc_ingest": q_warc_ingest,
+        "warc_stream_ingest": q_warc_stream_ingest,
         # -- NEW in round 4: declared Aggregation specs (upstream
         # feast/aggregation.py) through PIT retrieval
         "agg_feature_view": q_agg_feature_view,
@@ -3792,6 +3849,13 @@ def _oracles() -> dict[str, str]:
             FROM documents
         """,
         "warc_ingest": r"""
+            SELECT 'doc://' || doc_id AS url,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL ((doc_id % 28)) DAY AS warc_date,
+                   text
+            FROM documents
+        """,
+        "warc_stream_ingest": r"""
             SELECT 'doc://' || doc_id AS url,
                    TIMESTAMP '2024-01-01 00:00:00'
                      + INTERVAL ((doc_id % 28)) DAY AS warc_date,

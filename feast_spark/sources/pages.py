@@ -1094,6 +1094,27 @@ def read_table(
     return spark.read.schema(schema).parquet(*paths)
 
 
+def register_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    snapshot: int | None = None,
+    tag: str | None = None,
+    branch: str | None = None,
+) -> DataFrame:
+    """Expose a layout table to ``spark.sql`` as a temp view — the
+    SQL-first entry point (SELECT over a manifest-planned scan; Catalyst
+    pushdown applies on top as usual). Time-travel/tag/branch pins work
+    exactly like ``read_table``; re-registering replaces the view (call
+    again after commits to see a new HEAD — the view pins the file list
+    planned at registration, which is exactly Iceberg's
+    snapshot-isolation read semantic)."""
+    df = read_table(spark, root, snapshot=snapshot, tag=tag, branch=branch)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def added_files(
     root: str, from_snapshot: int, to_snapshot: int | None = None
 ) -> tuple[dict, list[dict]]:

@@ -222,6 +222,95 @@ def read_wet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- streaming --
+
+
+def stream_warc_dir(
+    spark: SparkSession,
+    path: str,
+    dest_root: str,
+    *,
+    checkpoint: str,
+    key_col: str = "url",
+    ts_col: str = "warc_date",
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+    transform=None,
+    available_now: bool = True,
+):
+    """Continuous crawl ingestion: new WARC segments dropped into
+    ``path`` flow into a layout table at ``dest_root``.
+
+    File DISCOVERY rides Spark's file-stream source (checkpointed,
+    exactly-once file tracking, ``maxFilesPerTrigger`` backpressure) —
+    but only the ``path`` column is ever projected, so the binaryFile
+    source never reads segment bytes into JVM rows. Each micro-batch
+    collects its bounded file-NAME list (≤ maxFilesPerTrigger strings),
+    parses those segments through the same streaming ``read_warc``
+    tasks as batch, applies ``transform`` (e.g. read-WET projection,
+    quality filters), and APPENDS to the layout table through the CAS
+    commit machinery.
+
+    Exactly-once across crashes: the file source replays an unfinished
+    batch with the SAME batch_id and file list, and a per-batch ledger
+    (``_stream_ingest/batch-N.json``, written through FileIO after the
+    append commits) makes the replayed append a no-op — so a crash
+    between the layout commit and the checkpoint commit cannot
+    double-ingest a segment.
+    """
+    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources.pages import is_table, write_table
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's fixed schema, stated explicitly (streaming sources
+        # don't infer); content is never projected below, so bytes are
+        # never read by the discovery stream
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc*")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path")
+    io = get_io()
+    ledger_dir = os.path.join(dest_root, "_stream_ingest")
+
+    def ingest(batch_df, batch_id: int) -> None:
+        ledger = os.path.join(ledger_dir, f"batch-{batch_id}.json")
+        if io.read_text(ledger) is not None:
+            return  # replay of a batch whose append already committed
+        paths = [
+            r["path"].removeprefix("file:") for r in batch_df.collect()
+        ]
+        if not paths:
+            return
+        df = read_warc(spark, sorted(paths))
+        if transform is not None:
+            df = transform(df)
+        snap = write_table(
+            df, dest_root, key_col=key_col, ts_col=ts_col,
+            n_buckets=n_buckets,
+            mode="append" if is_table(dest_root) else "overwrite",
+        )
+        io.write_atomic(
+            ledger,
+            f'{{"batch_id": {batch_id}, "snapshot": {snap}, '
+            f'"n_files": {len(paths)}}}',
+        )
+
+    writer = (
+        files.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # -------------------------------------------------------------- writer --
 
 

@@ -1,0 +1,106 @@
+"""Streaming WARC-directory ingestion: new segments flow into the
+layout exactly once; SQL catalog registration over the result."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.sources import pages as layout
+from feast_spark.sources import warc
+
+
+def seg(tmp, name, urls_days):
+    p = str(tmp / name)
+    warc.write_warc_file(
+        [
+            {
+                "url": u,
+                "date": f"2024-01-{d:02d}T00:00:00Z",
+                "text": f"text of {u}",
+            }
+            for u, d in urls_days
+        ],
+        p,
+    )
+    return p
+
+
+def wet(df):
+    return df.filter(F.col("warc_type") == "conversion").select(
+        "url", "warc_date", "text"
+    )
+
+
+def run_once(spark, indir, dest, ckpt):
+    q = warc.stream_warc_dir(
+        spark, indir, dest, checkpoint=ckpt, transform=wet, n_buckets=2
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_ingests_new_segments_exactly_once(spark, tmp_path):
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    seg(indir, "a.warc.gz", [("u1", 1), ("u2", 2)])
+    seg(indir, "b.warc.gz", [("u3", 3)])
+    run_once(spark, str(indir), dest, ckpt)
+    got = {r["url"] for r in layout.read_table(spark, dest).collect()}
+    assert got == {"u1", "u2", "u3"}
+
+    # second run, nothing new: no new snapshot, same rows
+    head = layout.current_snapshot(dest)["snapshot_id"]
+    run_once(spark, str(indir), dest, ckpt)
+    assert layout.current_snapshot(dest)["snapshot_id"] == head
+
+    # a new segment arrives: ONLY it is ingested (append, no dupes)
+    seg(indir, "c.warc.gz", [("u4", 4), ("u1", 5)])
+    run_once(spark, str(indir), dest, ckpt)
+    rows = layout.read_table(spark, dest).collect()
+    assert len(rows) == 5  # u1 twice (two crawls), u2-u4 once
+    assert {r["url"] for r in rows} == {"u1", "u2", "u3", "u4"}
+    # the snapshot history is append-only: incremental read sees only c
+    delta = layout.read_table_incremental(spark, dest, head)
+    assert {r["url"] for r in delta.collect()} == {"u4", "u1"}
+    assert delta.count() == 2
+
+
+def test_replayed_batch_is_noop_via_ledger(spark, tmp_path):
+    """Simulate the crash-between-commits window: the ledger for a
+    committed batch makes a replay skip the append."""
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    seg(indir, "a.warc.gz", [("u1", 1)])
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt1"))
+    head = layout.current_snapshot(dest)["snapshot_id"]
+    # new checkpoint ⇒ the file source REPLAYS batch 0 with the same
+    # file list; the ledger (batch-0) must make it a no-op
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt2"))
+    assert layout.current_snapshot(dest)["snapshot_id"] == head
+    assert layout.read_table(spark, dest).count() == 1
+    assert os.path.exists(os.path.join(dest, "_stream_ingest", "batch-0.json"))
+
+
+def test_register_table_sql_surface(spark, tmp_path):
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    seg(indir, "a.warc.gz", [("u1", 1), ("u2", 2), ("u3", 3)])
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    layout.register_table(spark, dest, "crawl")
+    n = spark.sql("SELECT count(*) AS n FROM crawl").collect()[0]["n"]
+    assert n == 3
+    top = spark.sql(
+        "SELECT url FROM crawl ORDER BY warc_date DESC LIMIT 1"
+    ).collect()[0]["url"]
+    assert top == "u3"
+    # registration pins the planned snapshot: new appends are invisible
+    # until re-registration (Iceberg snapshot-isolation semantics)
+    seg(indir, "b.warc.gz", [("u9", 9)])
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    assert spark.sql("SELECT count(*) AS n FROM crawl").collect()[0]["n"] == 3
+    layout.register_table(spark, dest, "crawl")
+    assert spark.sql("SELECT count(*) AS n FROM crawl").collect()[0]["n"] == 4
