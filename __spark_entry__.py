@@ -1865,6 +1865,48 @@ def q_online_store_lookup(spark, sf_dir):
     return out.select("user_id", "ts", F.round("value", 6).alias("value"))
 
 
+def q_materialize_delta(spark, sf_dir):
+    """Snapshot-delta materialization (materialize.py materialize_delta):
+    commit the pre-March events to a layout, full-materialize (pins the
+    baseline snapshot in lineage), append the rest, then merge ONLY the
+    delta files' latest rows into the serving buckets — the served
+    store must equal latest-per-key over ALL events (the one-shot
+    oracle)."""
+    import tempfile
+
+    from feast_spark.materialize import (
+        MaterializeJob, materialize_delta, read_online,
+    )
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+    from feast_spark.sources import pages as layout
+
+    base = tempfile.mkdtemp(prefix="fs_mdelta_")
+    root, dest = os.path.join(base, "t"), os.path.join(base, "store")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    cut = F.lit("2024-03-01").cast("timestamp")
+    layout.write_table(
+        ev.filter(F.col("ts") < cut), root,
+        key_col="user_id", ts_col="ts", n_buckets=4,
+    )
+    view = FeatureView(
+        name="ev_delta", entity=Entity("user_id", "user_id"), source=root,
+        features=[FeatureSpec("value", "double")], timestamp_field="ts",
+    )
+    MaterializeJob(spark, view, dest, n_buckets=8, bucket_batch=8).run(
+        "2023-01-01", "2026-01-01"
+    )
+    layout.write_table(
+        ev.filter(F.col("ts") >= cut), root,
+        key_col="user_id", ts_col="ts", n_buckets=4, mode="append",
+    )
+    materialize_delta(spark, view, dest)
+    return read_online(spark, dest).select(
+        "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
 _COMPOSITE_STORES: dict[str, str] = {}
 
 
@@ -2814,7 +2856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 4: Iceberg named refs (tags pin snapshots)
         "layout_tag_read": q_layout_tag_read,
         # -- NEW in round 4: incremental append scan (snapshot delta)
+        # + snapshot-delta materialization built on it
         "layout_incremental": q_layout_incremental,
+        "materialize_delta": q_materialize_delta,
         # -- NEW in round 4: branch writes + write-audit-publish
         "layout_wap_publish": q_layout_wap_publish,
         "push_online": q_push_online,
@@ -3330,6 +3374,15 @@ def _oracles() -> dict[str, str]:
               FROM events
               WHERE user_id < 40
                 AND ts >= TIMESTAMP '2023-01-01' AND ts < TIMESTAMP '2025-01-01'
+            ) WHERE rn = 1
+        """,
+        "materialize_delta": """
+            SELECT user_id, ts, round(value, 6) AS value
+            FROM (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC) AS rn
+              FROM events
             ) WHERE rn = 1
         """,
         "materialize_composite": """

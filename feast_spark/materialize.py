@@ -437,6 +437,92 @@ def materialize_incremental(
     return MaterializeJob(spark, view, dest, **kw).run(start, end)
 
 
+def last_input_snapshot(dest: str) -> int | None:
+    """Highest layout snapshot any lineage record of this store has
+    consumed — the resume point for snapshot-delta materialization."""
+    snaps = [
+        r.get("input_snapshot")
+        for r in layout.list_lineage(dest)
+        if r.get("input_snapshot") is not None
+    ]
+    return max(snaps) if snaps else None
+
+
+def materialize_delta(
+    spark: SparkSession, view, dest: str, *, to_snapshot: int | None = None
+) -> dict:
+    """Snapshot-delta materialization: read ONLY the layout files
+    appended since the store's last consumed snapshot (the incremental
+    append scan) and merge their latest rows into the serving buckets
+    via the push path. Where ``materialize_incremental`` resumes by
+    TIME (rescanning the resumed window), this resumes by SNAPSHOT —
+    the scan is proportional to the delta however wide its event-time
+    spread, the daily-delta shape that never rescans 100 TB. Correct
+    because the store already holds latest-per-key as of the previous
+    snapshot and the source is append-only between snapshots (enforced
+    by ``added_files``): latest(store ∪ delta) = latest(all).
+
+    Requires a layout-backed view without windowed aggregations
+    (those need history beneath each anchor — use the time-based path)
+    and a prior full materialization (the first lineage record pins
+    the baseline snapshot). No-ops when caught up. Records its own
+    lineage (`delta-{snapshot}`), so runs chain and crash-retries
+    resume."""
+    root = view.layout_root
+    if root is None:
+        raise ValueError("materialize_delta needs a layout-backed view")
+    if getattr(view, "aggregations", None):
+        raise ValueError(
+            "views with windowed aggregations need event-time history; "
+            "use materialize_incremental"
+        )
+    last = last_input_snapshot(dest)
+    if last is None:
+        raise ValueError(
+            f"no lineage at {dest}: run a full MaterializeJob first "
+            "(it pins the baseline snapshot)"
+        )
+    head = (
+        to_snapshot
+        if to_snapshot is not None
+        else layout.current_snapshot(root)["snapshot_id"]
+    )
+    if head <= last:
+        return {"rows_pushed": 0, "buckets_touched": [],
+                "from_snapshot": last, "to_snapshot": head,
+                "caught_up": True}
+    delta = layout.read_table_incremental(spark, root, last, head)
+    for src, dst in (view.field_mapping or {}).items():
+        delta = delta.withColumnRenamed(src, dst)
+    cols = list(
+        dict.fromkeys(
+            view.join_keys
+            + [view.timestamp_field]
+            + ([view.created_timestamp_column]
+               if view.created_timestamp_column else [])
+            + [s.name for s in view.features]
+        )
+    )
+    delta = delta.select(*cols)
+    stats = push_to_online(
+        spark, dest, delta,
+        ts_col=view.timestamp_field,
+        created_col=view.created_timestamp_column,
+    )
+    layout.write_lineage(
+        dest,
+        f"delta-{head:06d}",
+        {
+            "input_snapshot": head,
+            "from_snapshot": last,
+            "rows_out": stats["rows_pushed"],
+            "end": None,
+        },
+    )
+    return {**stats, "from_snapshot": last, "to_snapshot": head,
+            "caught_up": False}
+
+
 def push_to_online(
     spark: SparkSession,
     dest: str,

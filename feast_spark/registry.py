@@ -916,6 +916,15 @@ class FeatureStore:
             start_default=start_default, **kw,
         )
 
+    def materialize_delta(self, view_name: str, dest: str, **kw):
+        """Snapshot-delta materialization (see
+        materialize.materialize_delta): reads only layout files appended
+        since the store's last consumed snapshot — resume by SNAPSHOT
+        where materialize_incremental resumes by time."""
+        from feast_spark.materialize import materialize_delta
+
+        return materialize_delta(self.spark, self.get_view(view_name), dest, **kw)
+
     # -- push source --------------------------------------------------
     def push(
         self, store_path: str, df: DataFrame, *, ts_col: str = "warc_ts",

@@ -1,0 +1,96 @@
+"""Snapshot-delta materialization: merge only the appended files'
+latest rows; result identical to a one-shot full materialization."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.materialize import (
+    MaterializeJob,
+    materialize_delta,
+    read_online,
+)
+from feast_spark.registry import Entity, FeatureSpec, FeatureView
+from feast_spark.sources import pages as layout
+
+START, END = datetime(2023, 12, 1), datetime(2024, 6, 1)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+
+
+def view(root):
+    return FeatureView(
+        name="pv", entity=Entity("u", "url"), source=root,
+        features=[FeatureSpec("v", "double")], timestamp_field="ts",
+    )
+
+
+def served(spark, dest):
+    return {
+        r["url"]: (r["ts"].isoformat(), r["v"])
+        for r in read_online(spark, dest).collect()
+    }
+
+
+def test_delta_equals_full_recompute(spark, tmp_path):
+    root, dest, dest_full = (
+        str(tmp_path / "t"), str(tmp_path / "o"), str(tmp_path / "of")
+    )
+    day1 = [("a", "2024-01-01 00:00:00", 1.0), ("b", "2024-01-01 00:00:00", 2.0)]
+    # day2: new key c, and a NEWER row for a (must overwrite the served a)
+    day2 = [("c", "2024-01-02 00:00:00", 3.0), ("a", "2024-01-02 12:00:00", 9.0)]
+    # day3: an OLDER row for b arrives late (must NOT overwrite served b)
+    day3 = [("b", "2023-12-25 00:00:00", -1.0)]
+    layout.write_table(mk(spark, day1), root, key_col="url", ts_col="ts", n_buckets=2)
+    MaterializeJob(spark, view(root), dest, n_buckets=2).run(START, END)
+
+    layout.write_table(mk(spark, day2), root, key_col="url", ts_col="ts",
+                       n_buckets=2, mode="append")
+    r1 = materialize_delta(spark, view(root), dest)
+    assert r1["caught_up"] is False and r1["rows_pushed"] == 2
+
+    layout.write_table(mk(spark, day3), root, key_col="url", ts_col="ts",
+                       n_buckets=2, mode="append")
+    r2 = materialize_delta(spark, view(root), dest)
+    assert r2["from_snapshot"] == r1["to_snapshot"]  # runs chain
+
+    # one-shot full materialization over the final table == delta chain
+    MaterializeJob(spark, view(root), dest_full, n_buckets=2).run(START, END)
+    assert served(spark, dest) == served(spark, dest_full)
+    assert served(spark, dest)["a"][1] == 9.0  # newer delta row won
+    assert served(spark, dest)["b"][1] == 2.0  # older late row lost
+
+
+def test_caught_up_noop(spark, tmp_path):
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    layout.write_table(
+        mk(spark, [("a", "2024-01-01 00:00:00", 1.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    MaterializeJob(spark, view(root), dest, n_buckets=2).run(START, END)
+    out = materialize_delta(spark, view(root), dest)
+    assert out["caught_up"] is True and out["rows_pushed"] == 0
+
+
+def test_refusals(spark, tmp_path):
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    layout.write_table(
+        mk(spark, [("a", "2024-01-01 00:00:00", 1.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    # no prior full materialization
+    with pytest.raises(ValueError, match="full MaterializeJob"):
+        materialize_delta(spark, view(root), dest)
+    # non-layout view
+    v = view(root)
+    v2 = FeatureView(
+        name="pv", entity=Entity("u", "url"), source=lambda s: None,
+        features=v.features, timestamp_field="ts",
+    )
+    with pytest.raises(ValueError, match="layout-backed"):
+        materialize_delta(spark, v2, dest)
