@@ -86,9 +86,17 @@ def write_table(
     allow_spec_evolution: bool = False,
     distributed_stats: bool = False,
     branch: str | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Write ``df`` into the layout at ``root``; returns the committed
     snapshot id.
+
+    ``properties`` (Iceberg's snapshot ``summary`` map): arbitrary
+    string-keyed metadata stored INSIDE the committed snapshot — atomic
+    with the commit itself. Streaming ingests use it to record their
+    micro-batch marker so a crash between the table commit and any
+    side-channel ledger write cannot lose the exactly-once evidence
+    (``snapshot_with_summary`` finds it on replay).
 
     ``mode="overwrite"`` replaces the table; ``"append"`` adds files and
     chains a new snapshot onto the current one. The physical plan is one
@@ -244,6 +252,7 @@ def write_table(
             "dt_granularity": dt_granularity,
             "spec_history": spec_history,
             "schema": schema_json,
+            "summary": dict(properties) if properties else {},
             "files": (prev["files"] if prev else []) + stats,
         }
         try:
@@ -925,9 +934,13 @@ def expire_snapshots(root: str, *, keep_last: int = 1) -> dict:
         if n.startswith("snap-") and n.endswith(".json")
     )
     survivors = snaps[-keep_last:]
-    pins = list(list_refs(root)["tags"].values()) + list(
-        list_branches(root).values()
-    )
+    # HEAD is always a retention pin: unpublished branch commits (WAP
+    # staging) can be NEWER than HEAD, so the newest-keep_last window
+    # alone may miss it and routine retention would otherwise crash
+    # mid-staging (r04 review).
+    pins = [head["snapshot_id"]] + list(
+        list_refs(root)["tags"].values()
+    ) + list(list_branches(root).values())
     for sid in pins:
         pinned = f"snap-{sid:06d}.json"
         if pinned in snaps and pinned not in survivors:
@@ -985,6 +998,34 @@ def load_snapshot(root: str, snapshot: int | str) -> dict:
         snapshot = f"snap-{snapshot:06d}.json"
     with open(os.path.join(root, META_DIR, snapshot)) as f:
         return json.load(f)
+
+
+def iter_snapshots(root: str):
+    """Yield snapshots newest-first along the HEAD parent chain,
+    stopping where ``expire_snapshots`` truncated it. Metadata-only
+    driver reads (one small json per snapshot)."""
+    cur = current_snapshot(root)
+    while cur is not None:
+        yield cur
+        parent = cur.get("parent")
+        if parent is None:
+            return
+        try:
+            cur = load_snapshot(root, parent)
+        except FileNotFoundError:
+            return  # chain truncated by expire_snapshots
+
+
+def snapshot_with_summary(root: str, key: str, value) -> dict | None:
+    """The newest snapshot whose ``summary`` carries ``key == value``
+    (Iceberg: filtering snapshots on their summary map). Streaming
+    replay checks find their marker in O(1) reads in the common case
+    (the marker commit is at or near HEAD); ``expire_snapshots`` bounds
+    the worst case."""
+    for snap in iter_snapshots(root):
+        if snap.get("summary", {}).get(key) == value:
+            return snap
+    return None
 
 
 def plan_files(

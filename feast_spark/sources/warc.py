@@ -251,14 +251,20 @@ def stream_warc_dir(
     quality filters), and APPENDS to the layout table through the CAS
     commit machinery.
 
-    Exactly-once across crashes: the file source replays an unfinished
-    batch with the SAME batch_id and file list, and a per-batch ledger
-    (``_stream_ingest/batch-N.json``, written through FileIO after the
-    append commits) makes the replayed append a no-op — so a crash
-    between the layout commit and the checkpoint commit cannot
-    double-ingest a segment.
+    Exactly-once across crashes AND checkpoint resets: every append
+    commits the batch's segment list into its snapshot ``summary``
+    (``warc_segments`` — atomic with the commit itself, no side-channel
+    ledger to lose in a crash window), and each micro-batch ingests only
+    the set difference against the union of all committed lists. A
+    replayed batch (crash before the checkpoint committed) is a pure
+    no-op; a FRESH checkpoint whose restarted batch 0 mixes old and new
+    segments ingests exactly the new ones (r04 review — a batch-id-keyed
+    ledger would have skipped them). Retention note: ``expire_snapshots``
+    drops expired summaries with their snapshots — keep the checkpoint
+    (the primary dedup) or retain snapshots covering the re-presentable
+    segment window.
     """
-    from feast_spark.sources.fileio import get_io
+    from feast_spark.sources import pages as layout
     from feast_spark.sources.pages import is_table, write_table
 
     reader = (
@@ -275,30 +281,33 @@ def stream_warc_dir(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path")
-    io = get_io()
-    ledger_dir = os.path.join(dest_root, "_stream_ingest")
 
     def ingest(batch_df, batch_id: int) -> None:
-        ledger = os.path.join(ledger_dir, f"batch-{batch_id}.json")
-        if io.read_text(ledger) is not None:
-            return  # replay of a batch whose append already committed
-        paths = [
+        paths = sorted(
             r["path"].removeprefix("file:") for r in batch_df.collect()
-        ]
+        )
         if not paths:
             return
-        df = read_warc(spark, sorted(paths))
+        done: set[str] = set()
+        if is_table(dest_root):
+            for snap in layout.iter_snapshots(dest_root):
+                done.update(
+                    snap.get("summary", {}).get("warc_segments", [])
+                )
+        new = [p for p in paths if p not in done]
+        if not new:
+            return  # replay, or a reset checkpoint re-presenting old files
+        df = read_warc(spark, new)
         if transform is not None:
             df = transform(df)
-        snap = write_table(
+        write_table(
             df, dest_root, key_col=key_col, ts_col=ts_col,
             n_buckets=n_buckets,
             mode="append" if is_table(dest_root) else "overwrite",
-        )
-        io.write_atomic(
-            ledger,
-            f'{{"batch_id": {batch_id}, "snapshot": {snap}, '
-            f'"n_files": {len(paths)}}}',
+            properties={
+                "warc_batch": str(batch_id),
+                "warc_segments": new,
+            },
         )
 
     writer = (

@@ -189,15 +189,27 @@ def stream_agg_to_online(
     itself: a late row changes the aggregates of every anchor within its
     trailing window's reach, and all such anchors fall inside the
     recompute span, so previously-served values are overwritten with
-    corrected ones. Streaming and batch serving stores are
-    byte-compatible by construction (pinned by test). A lifetime
-    (unbounded) aggregation window forces a full-history scan per
-    micro-batch — correct but O(history); prefer bounded windows on
-    streams. Returns the started StreamingQuery (caller awaits)."""
+    corrected ones. A LIFETIME (unbounded) aggregation window has no
+    finite reach — a late row shifts every anchor AFTER it — so there
+    the span extends through the newest anchor in HISTORY, not just the
+    batch (r04 review), and the per-batch scan is O(history); prefer
+    bounded windows on streams. Streaming and batch serving stores are
+    byte-compatible by construction (pinned by test).
+
+    Exactly-once across crashes: each micro-batch's history append
+    commits with a ``{stream_batch, stream_fp}`` snapshot summary —
+    atomic with the commit — so a replay (same batch_id, crash before
+    the checkpoint committed) finds its marker, skips the append, and
+    re-runs only the idempotent lineage-keyed materialization. A marker
+    whose content fingerprint does NOT match the replayed batch means a
+    FRESH checkpoint was pointed at an existing history table (batch
+    ids restarted); that silently double-counts, so it raises instead.
+    Returns the started StreamingQuery (caller awaits)."""
     import dataclasses
     import datetime as _dt
 
     from feast_spark.materialize import MaterializeJob
+    from feast_spark.sources import pages as layout
     from feast_spark.sources.pages import write_table
 
     if not getattr(view, "aggregations", None):
@@ -206,27 +218,67 @@ def stream_agg_to_online(
     keys = view.join_keys
     if not keys:
         raise ValueError("stream_agg_to_online needs an entity-keyed view")
+    unbounded = any(a.time_window is None for a in view.aggregations)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         batch_df = batch_df.withColumn(ts, F.col(ts).cast("timestamp"))
-        write_table(
-            batch_df, history_root, key_col=keys[0], ts_col=ts,
-            n_buckets=n_buckets, mode="append",
-        )
-        bounds = batch_df.agg(
-            F.min(ts).alias("lo"), F.max(ts).alias("hi")
+        # bounds + order-independent content fingerprint in ONE pass
+        row_hash = F.xxhash64(*[F.col(c) for c in batch_df.columns])
+        stats = batch_df.withColumn("__h", row_hash).agg(
+            F.min(ts).alias("lo"),
+            F.max(ts).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(__h)").alias("xr"),
         ).first()
-        if bounds["lo"] is None:
+        if stats["lo"] is None:
             return
-        pad = view.max_agg_window or _dt.timedelta(0)
+        fp = f'{stats["n"]}:{stats["xr"]}'
+        prior = (
+            layout.snapshot_with_summary(
+                history_root, "stream_batch", str(batch_id)
+            )
+            if layout.is_table(history_root)
+            else None
+        )
+        if prior is not None:
+            if prior["summary"].get("stream_fp") != fp:
+                raise RuntimeError(
+                    f"history table {history_root} already ingested a "
+                    f"batch {batch_id} with different contents — a fresh "
+                    "checkpoint restarted batch numbering against an "
+                    "existing history table; use a new history_root or "
+                    "keep the original checkpoint"
+                )
+            # pure replay: append committed before the crash; fall
+            # through to the idempotent materialization only
+        else:
+            write_table(
+                batch_df, history_root, key_col=keys[0], ts_col=ts,
+                n_buckets=n_buckets, mode="append",
+                properties={"stream_batch": str(batch_id), "stream_fp": fp},
+            )
+        if unbounded:
+            head = layout.current_snapshot(history_root)
+            his = [f["max_ts"] for f in head["files"] if f.get("max_ts")]
+            if his:
+                hi = _dt.datetime.fromisoformat(max(his))
+            else:  # footer ts stats unavailable: one bounded scan
+                hi = (
+                    layout.read_table(spark, history_root)
+                    .agg(F.max(F.col(ts).cast("timestamp")))
+                    .first()[0]
+                )
+        else:
+            hi = stats["hi"] + view.max_agg_window
         hview = dataclasses.replace(view, source=history_root)
         MaterializeJob(
-            batch_df.sparkSession, hview, dest,
+            spark, hview, dest,
             n_buckets=n_buckets, bucket_batch=n_buckets,
             lineage_tag=f"stream{batch_id:08d}",
-        ).run(bounds["lo"], bounds["hi"] + pad + _dt.timedelta(seconds=1))
+        ).run(stats["lo"], hi + _dt.timedelta(seconds=1))
 
     writer = stream_df.writeStream.foreachBatch(fold).outputMode("update")
     if checkpoint:

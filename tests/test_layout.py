@@ -850,3 +850,49 @@ def test_write_audit_publish_branch_flow(spark, tmp_path_factory):
         r["url"]
         for r in layout.read_table(spark, root, branch="audit2").collect()
     } == {"a", "b", "c", "d"}
+
+
+def test_expire_during_wap_staging_pins_head(spark, tmp_path_factory):
+    """r04 review: unpublished branch commits are NEWER than HEAD, so
+    keep_last=1 alone would expire HEAD itself — retention during a WAP
+    staging window must pin HEAD like a tag, not crash."""
+    root = str(tmp_path_factory.mktemp("wap_expire") / "t")
+    mk = lambda url, ts, v: spark.createDataFrame(  # noqa: E731
+        [(url, ts, v)], "url string, ts string, v double"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"), "v")
+    layout.write_table(
+        mk("a", "2024-01-01 00:00:00", 1.0), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    head = layout.current_snapshot(root)["snapshot_id"]
+    layout.write_table(
+        mk("b", "2024-01-02 00:00:00", 2.0), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+        branch="audit",
+    )
+    stats = layout.expire_snapshots(root, keep_last=1)
+    assert stats["snapshots_removed"] == 0  # HEAD + branch head both pinned
+    assert layout.current_snapshot(root)["snapshot_id"] == head
+    assert {r["url"] for r in layout.read_table(spark, root).collect()} == {"a"}
+    assert {
+        r["url"]
+        for r in layout.read_table(spark, root, branch="audit").collect()
+    } == {"a", "b"}
+
+
+def test_snapshot_summary_properties_roundtrip(spark, tmp_path_factory):
+    """write_table(properties=...) lands in the snapshot summary (atomic
+    with the commit) and snapshot_with_summary finds it by key/value."""
+    root = str(tmp_path_factory.mktemp("summary") / "t")
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00")], "url string, ts string"
+    ).select("url", F.col("ts").cast("timestamp").alias("ts"))
+    layout.write_table(df, root, key_col="url", ts_col="ts", n_buckets=2)
+    layout.write_table(
+        df, root, key_col="url", ts_col="ts", n_buckets=2, mode="append",
+        properties={"stream_batch": "7", "stream_fp": "1:42"},
+    )
+    assert layout.current_snapshot(root)["summary"]["stream_batch"] == "7"
+    hit = layout.snapshot_with_summary(root, "stream_batch", "7")
+    assert hit is not None and hit["summary"]["stream_fp"] == "1:42"
+    assert layout.snapshot_with_summary(root, "stream_batch", "8") is None

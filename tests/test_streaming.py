@@ -494,3 +494,161 @@ def test_stream_agg_to_online_matches_batch_with_late_rows(
         for r in read_online(spark, bdest).collect()
     }
     assert got == batch
+
+
+def test_stream_agg_unbounded_window_late_row_corrects_newer_anchors(
+    spark, tmp_path_factory
+):
+    """r04 review: a LIFETIME (unbounded) aggregation has no finite
+    window reach — a late row changes every anchor AFTER it, including
+    anchors NEWER than the late batch's own max ts. The recompute span
+    must therefore extend through the newest anchor in history (the old
+    pad=0 span left the already-served newest anchor stale forever)."""
+    from datetime import datetime, timedelta
+
+    from feast_spark.materialize import read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+
+    base = tmp_path_factory.mktemp("stream_agg_life")
+    src = str(base / "src")
+    schema = "warc_ts timestamp, url string, value double"
+    b1 = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 1, 0), "u", 1.0),
+            (datetime(2024, 1, 1, 5, 0), "u", 2.0),
+        ],
+        schema,
+    )
+    # late row at 02:00 — BELOW batch 1's served anchor 05:00
+    b2 = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 2, 0), "u", 10.0)], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    view = FeatureView(
+        name="slife",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", None)],
+    )
+    dest = str(base / "store")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = sp.stream_agg_to_online(
+        stream, view, dest,
+        history_root=str(base / "hist"), n_buckets=2,
+        checkpoint=str(base / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r["url"]: (str(r["warc_ts"]), r["sum_value"])
+        for r in read_online(spark, dest).collect()
+    }
+    # lifetime sum at the newest anchor 05:00 must include the late 10.0
+    assert got["u"] == ("2024-01-01 05:00:00", 13.0)
+
+
+def test_stream_agg_replay_skips_committed_append(spark, tmp_path_factory):
+    """Crash-window replay (fresh checkpoint, identical batch): the
+    stream_batch marker committed in the history snapshot summary makes
+    the replayed append a no-op — no double-counted history rows."""
+    from datetime import datetime, timedelta
+
+    from feast_spark.materialize import read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+    from feast_spark.sources import pages as layout
+
+    base = tmp_path_factory.mktemp("stream_agg_replay")
+    src = str(base / "src")
+    schema = "warc_ts timestamp, url string, value double"
+    spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0), "u", 1.0),
+            (datetime(2024, 1, 1, 0, 30), "u", 2.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    view = FeatureView(
+        name="sreplay",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value_3600s", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", timedelta(hours=1))],
+    )
+    dest = str(base / "store")
+    hist = str(base / "hist")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = sp.stream_agg_to_online(
+            stream, view, dest, history_root=hist, n_buckets=2,
+            checkpoint=str(base / ckpt),
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    head = layout.current_snapshot(hist)["snapshot_id"]
+    run("ckpt2")  # replays batch 0 with identical contents
+    assert layout.current_snapshot(hist)["snapshot_id"] == head
+    assert layout.read_table(spark, hist).count() == 2  # not 4
+    got = read_online(spark, dest).collect()
+    assert len(got) == 1 and got[0]["sum_value_3600s"] == 3.0
+
+
+def test_stream_agg_fresh_checkpoint_with_new_data_raises(
+    spark, tmp_path_factory
+):
+    """A fresh checkpoint whose restarted batch 0 carries DIFFERENT rows
+    than the committed batch 0 is not a replay — silently skipping it
+    loses data, appending it double-counts the overlap. It must raise."""
+    from datetime import datetime, timedelta
+
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+
+    base = tmp_path_factory.mktemp("stream_agg_mismatch")
+    src = str(base / "src")
+    schema = "warc_ts timestamp, url string, value double"
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0), "u", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    view = FeatureView(
+        name="smismatch",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value_3600s", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", timedelta(hours=1))],
+    )
+    dest = str(base / "store")
+    hist = str(base / "hist")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = sp.stream_agg_to_online(
+            stream, view, dest, history_root=hist, n_buckets=2,
+            checkpoint=str(base / ckpt),
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    # more data arrives; a FRESH checkpoint folds it into a new batch 0
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 1, 0), "u", 5.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="different contents"):
+        run("ckpt2")

@@ -67,21 +67,43 @@ def test_stream_ingests_new_segments_exactly_once(spark, tmp_path):
     assert delta.count() == 2
 
 
-def test_replayed_batch_is_noop_via_ledger(spark, tmp_path):
-    """Simulate the crash-between-commits window: the ledger for a
-    committed batch makes a replay skip the append."""
+def test_replayed_batch_is_noop_via_snapshot_summary(spark, tmp_path):
+    """Simulate the crash-between-commits window: the segment list
+    committed in the snapshot summary makes a replay skip the append."""
     indir = tmp_path / "drop"
     indir.mkdir()
     dest = str(tmp_path / "tbl")
     seg(indir, "a.warc.gz", [("u1", 1)])
     run_once(spark, str(indir), dest, str(tmp_path / "ckpt1"))
-    head = layout.current_snapshot(dest)["snapshot_id"]
+    head = layout.current_snapshot(dest)
+    assert head["summary"]["warc_batch"] == "0"
+    assert len(head["summary"]["warc_segments"]) == 1
     # new checkpoint ⇒ the file source REPLAYS batch 0 with the same
-    # file list; the ledger (batch-0) must make it a no-op
+    # file list; the committed marker must make it a no-op
     run_once(spark, str(indir), dest, str(tmp_path / "ckpt2"))
-    assert layout.current_snapshot(dest)["snapshot_id"] == head
+    assert layout.current_snapshot(dest)["snapshot_id"] == head["snapshot_id"]
     assert layout.read_table(spark, dest).count() == 1
-    assert os.path.exists(os.path.join(dest, "_stream_ingest", "batch-0.json"))
+
+
+def test_fresh_checkpoint_with_new_segments_ingests_only_them(
+    spark, tmp_path
+):
+    """r04 review: a fresh checkpoint restarts batch numbering, so its
+    batch 0 can MIX already-ingested and brand-new segments. A
+    batch-id-keyed ledger skipped the whole batch (losing the new
+    segments forever); the per-segment set difference must ingest
+    exactly the new ones."""
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    seg(indir, "a.warc.gz", [("u1", 1)])
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt1"))
+    # checkpoint lost; a new segment arrives before the re-run
+    seg(indir, "b.warc.gz", [("u2", 2)])
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt2"))
+    rows = layout.read_table(spark, dest).collect()
+    assert {r["url"] for r in rows} == {"u1", "u2"}
+    assert len(rows) == 2  # u1 NOT double-ingested
 
 
 def test_register_table_sql_surface(spark, tmp_path):
