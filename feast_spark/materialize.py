@@ -135,6 +135,66 @@ class MaterializeJob:
             return self._layout_snap()["snapshot_id"]
         return None
 
+    def _coverage_complete(self, snap_id, start, end) -> bool | None:
+        """Is the store latest-per-key COMPLETE as of ``snap_id`` after a
+        run over [start, end)? True when the range covers the snapshot's
+        whole event-time span (footer stats, no Spark job), or — the
+        incremental induction — when a prior lineage record is complete
+        at an ancestor snapshot and this range covers every file APPENDED
+        since it. Recorded in lineage; ``materialize_delta`` refuses a
+        baseline without a complete record, because a time-bounded run
+        records input_snapshot=HEAD while leaving out-of-range rows
+        unmaterialized (r04 review: those rows were silently unservable
+        forever). None = non-layout source (coverage unknowable)."""
+        import datetime as _dt
+
+        if snap_id is None:
+            return None
+
+        def _as_dt(v):
+            d = _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+            if d.tzinfo is not None:
+                # footer stats of UTC-flagged parquet timestamps parse
+                # tz-aware; the engine's timeline is naive-UTC throughout
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return d
+
+        def _span(files) -> tuple | None:
+            mins = [f.get("min_ts") for f in files]
+            maxs = [f.get("max_ts") for f in files]
+            if any(m is None for m in mins) or any(m is None for m in maxs):
+                return None  # footer ts stats missing: unverifiable
+            return (_as_dt(min(mins)), _as_dt(max(maxs)))
+
+        s, e = _as_dt(start), _as_dt(end)
+        files = layout.load_snapshot(self._layout_root, snap_id)["files"]
+        if not files:
+            return True
+        span = _span(files)
+        if span is not None and s <= span[0] and e > span[1]:
+            return True
+        priors = sorted(
+            (
+                r for r in layout.list_lineage(self.dest)
+                if r.get("complete") and r.get("input_snapshot") is not None
+                and r["input_snapshot"] < snap_id
+            ),
+            key=lambda r: -r["input_snapshot"],
+        )
+        for r in priors:
+            try:
+                _, added = layout.added_files(
+                    self._layout_root, r["input_snapshot"], snap_id
+                )
+            except Exception:
+                continue  # not an ancestor (rollback/branch history)
+            if not added:
+                return True
+            aspan = _span(added)
+            if aspan is not None and s <= aspan[0] and e > aspan[1]:
+                return True
+        return False
+
     def _scan(self, start, end, buckets: list[int]) -> DataFrame:
         ts = self.view.timestamp_field
         keys = self._key_cols()
@@ -283,6 +343,7 @@ class MaterializeJob:
         """Materialize [start, end). Returns summary metrics. Resumable:
         bucket batches with matching lineage are skipped."""
         snap_id = self._input_snapshot()
+        complete = self._coverage_complete(snap_id, start, end)
         write_store_meta(
             self.dest,
             n_buckets=self.n_buckets,
@@ -317,6 +378,7 @@ class MaterializeJob:
             ):
                 raise RuntimeError(f"injected failure before batch {pid}")
             record = self._run_batch(start, end, buckets, snap_id)
+            record["complete"] = complete
             layout.write_lineage(self.dest, pid, record)
             done += 1
             total_rows += record["rows_out"]
@@ -482,6 +544,21 @@ def materialize_delta(
             f"no lineage at {dest}: run a full MaterializeJob first "
             "(it pins the baseline snapshot)"
         )
+    # the baseline must be latest-per-key COMPLETE as of `last`: a
+    # time-bounded run also records input_snapshot=HEAD but leaves
+    # out-of-range rows unmaterialized — resuming by snapshot from it
+    # would make those rows silently unservable forever (r04 review)
+    if not any(
+        r.get("complete")
+        for r in layout.list_lineage(dest)
+        if r.get("input_snapshot") == last
+    ):
+        raise ValueError(
+            f"store at {dest} is not verifiably complete as of snapshot "
+            f"{last}: its lineage there is time-bounded (or predates "
+            "completeness tracking) — run a MaterializeJob whose range "
+            "covers the table's full event-time span first"
+        )
     head = (
         to_snapshot
         if to_snapshot is not None
@@ -517,6 +594,9 @@ def materialize_delta(
             "from_snapshot": last,
             "rows_out": stats["rows_pushed"],
             "end": None,
+            # complete by induction: baseline verified above, and the
+            # delta merged every row appended since it
+            "complete": True,
         },
     )
     return {**stats, "from_snapshot": last, "to_snapshot": head,
@@ -644,7 +724,31 @@ def read_online(
     if ttl is not None:
         if now is None:
             raise ValueError("ttl expiry needs an explicit `now`")
-        ts_col = (meta or {}).get("ts_col") or "warc_ts"
+        ts_col = (meta or {}).get("ts_col")
+        if ts_col is None:
+            # stores materialized before ts_col was recorded: resolve
+            # from the store's own schema (one footer read) instead of
+            # assuming warc_ts, which fails with UNRESOLVED_COLUMN on
+            # stores keyed on any other timestamp (r04 review)
+            from pyspark.sql import types as T
+
+            fields = spark.read.parquet(data).schema.fields
+            ts_like = [
+                f.name for f in fields
+                if isinstance(
+                    f.dataType, (T.TimestampType, T.TimestampNTZType)
+                )
+            ]
+            if "warc_ts" in ts_like:
+                ts_col = "warc_ts"
+            elif len(ts_like) == 1:
+                ts_col = ts_like[0]
+            else:
+                raise ValueError(
+                    f"cannot infer the event-time column of {dest} for "
+                    f"ttl expiry (candidates: {ts_like}); re-materialize "
+                    "to record ts_col in store.json"
+                )
         if isinstance(now, str):
             now = _dt.datetime.fromisoformat(now)
         cutoff = now - ttl

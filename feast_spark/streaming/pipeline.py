@@ -265,6 +265,8 @@ def stream_agg_to_online(
             his = [f["max_ts"] for f in head["files"] if f.get("max_ts")]
             if his:
                 hi = _dt.datetime.fromisoformat(max(his))
+                if hi.tzinfo is not None:  # UTC-flagged footer stats
+                    hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             else:  # footer ts stats unavailable: one bounded scan
                 hi = (
                     layout.read_table(spark, history_root)

@@ -94,3 +94,66 @@ def test_refusals(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="layout-backed"):
         materialize_delta(spark, v2, dest)
+
+
+def test_delta_refuses_time_bounded_baseline(spark, tmp_path):
+    """r04 review: a time-bounded run records input_snapshot=HEAD while
+    leaving out-of-range rows unmaterialized; trusting it as a delta
+    baseline made those rows silently unservable forever. The baseline
+    must carry a complete=True lineage record."""
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    rows = [
+        ("a", "2024-01-01 00:00:00", 1.0),
+        ("m", "2024-03-15 00:00:00", 7.0),  # outside the bounded range
+    ]
+    layout.write_table(mk(spark, rows), root, key_col="url", ts_col="ts",
+                       n_buckets=2)
+    MaterializeJob(spark, view(root), dest, n_buckets=2).run(
+        datetime(2024, 1, 1), datetime(2024, 2, 1)
+    )
+    assert "m" not in served(spark, dest)
+    with pytest.raises(ValueError, match="not verifiably complete"):
+        materialize_delta(spark, view(root), dest)
+    # widening the range to cover the span heals the baseline
+    MaterializeJob(spark, view(root), dest, n_buckets=2).run(START, END)
+    layout.write_table(
+        mk(spark, [("z", "2024-04-01 00:00:00", 2.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+    )
+    out = materialize_delta(spark, view(root), dest)
+    assert out["rows_pushed"] == 1
+    assert served(spark, dest)["m"][1] == 7.0
+
+
+def test_incremental_chain_keeps_completeness(spark, tmp_path):
+    """The incremental induction: a bounded resume that covers every
+    file APPENDED since a complete baseline is itself complete — so the
+    natural daily pipeline (full once, then materialize_incremental,
+    then snapshot-delta) keeps working."""
+    from feast_spark.materialize import materialize_incremental
+
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    layout.write_table(
+        mk(spark, [("a", "2024-01-01 00:00:00", 1.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2,
+    )
+    MaterializeJob(spark, view(root), dest, n_buckets=2).run(
+        START, datetime(2024, 1, 2)
+    )
+    # append strictly-newer rows; resume covers exactly their span
+    layout.write_table(
+        mk(spark, [("b", "2024-01-03 00:00:00", 2.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+    )
+    materialize_incremental(spark, view(root), dest, datetime(2024, 1, 4))
+    recs = layout.list_lineage(dest)
+    assert any(r.get("complete") for r in recs
+               if r["input_snapshot"] == max(x["input_snapshot"] for x in recs))
+    # delta now accepts the incremental run as its baseline
+    layout.write_table(
+        mk(spark, [("c", "2024-01-05 00:00:00", 3.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=2, mode="append",
+    )
+    out = materialize_delta(spark, view(root), dest)
+    assert out["rows_pushed"] == 1
+    assert set(served(spark, dest)) == {"a", "b", "c"}
