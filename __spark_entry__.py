@@ -879,7 +879,9 @@ def q_bpe_encode_trained(spark, sf_dir):
     return bpe.bpe_encode(d, model, "text").select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        F.element_at("bpe_tokens", 1).alias("first_token"),
+        # try_element_at: an empty/whitespace-only doc encodes to [],
+        # and ANSI-mode element_at throws on index 1 of an empty array
+        F.try_element_at("bpe_tokens", F.lit(1)).alias("first_token"),
     )
 
 
@@ -4397,11 +4399,11 @@ def _oracles() -> dict[str, str]:
         "bloom_sketch": """
             WITH pos AS (
               SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
-                           || '|42|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                           || '|42|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
                      % 258048 AS p
               FROM events, LATERAL unnest(generate_series(0, 2)) AS t(i)
             )
-            SELECT CAST(p // 63 AS INT) AS word,
+            SELECT CAST(p // 63 AS BIGINT) AS word,
                    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
             FROM pos GROUP BY 1
         """,

@@ -93,14 +93,7 @@ def brute_force_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _rank_topk(scored, query_id_col, id_col, k)
 
 
 def hyperplane_signature(
@@ -435,14 +428,7 @@ def ann_index_topk(
             cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _rank_topk(cand, query_id_col, id_col, k)
 
 
 def _centroid_scores_udf(centroids: np.ndarray):
@@ -588,34 +574,20 @@ def ivf_topk(
     nlist ≈ sqrt(N), nprobe ≈ nlist/16). The query side broadcasts
     below ``broadcast_threshold`` rows (zero-job footer estimate, same
     policy as ``lsh_topk``); bigger batches shuffle on the cell id."""
-    import pandas as pd
-
-    from pyspark.sql import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, dim=dim, nlist=nlist, id_col=id_col, vec_col=vec_col,
             iters=iters, corpus_count=corpus_count, seed=seed,
         )
-    nprobe = min(nprobe, centroids.shape[0])
     c = ivf_assign(corpus, centroids, vec_col=vec_col).select(
         F.col("__cell"), F.col(id_col), F.col(vec_col)
     )
-    scores = _centroid_scores_udf(centroids)
-
-    @F.pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        s = scores(v)
-        part = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
-        # order probes best-first (stable output for tests/debugging)
-        rows = np.arange(s.shape[0])[:, None]
-        order = np.argsort(-s[rows, part], axis=1)
-        return pd.Series(list(part[rows, order].astype("int32")))
-
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qv"),
-        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell"),
+        F.explode(
+            _probe_cells_udf(centroids, nprobe)(F.col(query_vec_col))
+        ).alias("__cell"),
     )
     from feast_spark.estimate import estimate_rows
 
@@ -628,6 +600,34 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
     )
+    return _rank_topk(cand, query_id_col, id_col, k)
+
+
+def _probe_cells_udf(centroids: np.ndarray, nprobe: int):
+    """Pandas UDF mapping a query vector to its ``nprobe`` nearest
+    cells, best-first (stable output for tests/debugging). ONE shared
+    factory for the on-the-fly and persisted-index paths — a probe
+    ordering or tie-break fix applied to one must not silently diverge
+    the other (r04 review)."""
+    nprobe = min(nprobe, centroids.shape[0])
+    scores = _centroid_scores_udf(centroids)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        s = scores(v)
+        part = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
+        rows = np.arange(s.shape[0])[:, None]
+        order = np.argsort(-s[rows, part], axis=1)
+        return pd.Series(list(part[rows, order].astype("int32")))
+
+    return probe_cells
+
+
+def _rank_topk(cand: DataFrame, query_id_col: str, id_col: str, k: int):
+    """Exact top-k per query over scored candidates: cosine desc, id asc
+    tie-break — the single ranking rule of every ANN serving path."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -713,8 +713,6 @@ def ivf_index_topk(
     import json
     import os
 
-    from pyspark.sql import Window
-
     from feast_spark.sources.fileio import get_io
     from feast_spark.sources.pages import buckets_of_keys, read_table
 
@@ -722,21 +720,12 @@ def ivf_index_topk(
     meta = json.loads(get_io().read_text(os.path.join(root, "_ivf.json")))
     cent = np.asarray(meta["centroids"], dtype="float64")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    nprobe = min(nprobe, cent.shape[0])
-    scores = _centroid_scores_udf(cent)
-
-    @F.pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        s = scores(v)
-        part = np.argpartition(-s, nprobe - 1, axis=1)[:, :nprobe]
-        rows = np.arange(s.shape[0])[:, None]
-        order = np.argsort(-s[rows, part], axis=1)
-        return pd.Series(list(part[rows, order].astype("int32")))
-
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qv"),
-        F.explode(probe_cells(F.col(query_vec_col))).alias("__cell_i"),
+        F.explode(
+            _probe_cells_udf(cent, nprobe)(F.col(query_vec_col))
+        ).alias("__cell_i"),
     ).select(
         "__qid", "__qv", F.col("__cell_i").cast("long").alias("cell")
     )
@@ -760,14 +749,7 @@ def ivf_index_topk(
         F.col(id_col),
         cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _rank_topk(cand, query_id_col, id_col, k)
 
 
 def lsh_topk(
@@ -840,11 +822,4 @@ def lsh_topk(
             cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _rank_topk(cand, query_id_col, id_col, k)

@@ -84,9 +84,22 @@ def hll_union_rows(
 BLOOM_WORD_BITS = 63
 
 
+#: 15 hex digits = 60 bits of hash per position draw. 8 digits (32 bits)
+#: silently clipped any m_bits above 2^32 — at the docstring's n=10^9
+#: sizing (m ≈ 10^10) over half the configured bits could never be set
+#: and the real fp rate blew past the formula (r04 review). 60 bits
+#: stays below signed-BIGINT range in both Spark and DuckDB.
+_BLOOM_HASH_HEX = 15
+BLOOM_MAX_BITS = 1 << (4 * _BLOOM_HASH_HEX)
+
+
 def _bloom_positions(c: Column, m_bits: int, k: int, seed: int) -> Column:
     """Array of ``k`` bit positions in [0, m_bits) for one value —
     independent draws via md5(value|seed|i)."""
+    if not 0 < m_bits <= BLOOM_MAX_BITS:
+        raise ValueError(
+            f"m_bits must be in (0, 2^{4 * _BLOOM_HASH_HEX}]; got {m_bits}"
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.conv(
@@ -97,7 +110,7 @@ def _bloom_positions(c: Column, m_bits: int, k: int, seed: int) -> Column:
                         i.cast("string"),
                     )
                 ),
-                1, 8,
+                1, _BLOOM_HASH_HEX,
             ),
             16, 10,
         ).cast("long") % F.lit(m_bits),
@@ -112,7 +125,7 @@ def bloom_sketch(
     k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """Build the Bloom sketch of ``col``: a DataFrame (word int,
+    """Build the Bloom sketch of ``col``: a DataFrame (word long,
     bits long) with one row per 63-bit word that has any bit set —
     sparse, so an underfilled filter costs less than m/63 rows.
 
@@ -132,7 +145,9 @@ def bloom_sketch(
     )
     return (
         pos.select(
-            (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+            # word index is LONG: at m_bits near the 2^60 cap it exceeds
+            # int32 range, and ANSI-mode cast("int") would throw
+            (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word"),
             # pyspark's F.shiftleft only takes a Python-int bit count;
             # the SQL form shifts by a column
             F.expr(
@@ -178,7 +193,7 @@ def bloom_contains(
         F.explode(_bloom_positions(F.col(col), m_bits, k, seed)).alias("__p"),
     ).select(
         col,
-        (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+        (F.col("__p") / F.lit(BLOOM_WORD_BITS)).cast("long").alias("word"),
         F.expr(
             f"shiftleft(CAST(1 AS BIGINT), "
             f"CAST(__p % {BLOOM_WORD_BITS} AS INT))"

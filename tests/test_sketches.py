@@ -139,3 +139,23 @@ def test_bloom_word_width_is_shift_safe(spark):
     rows = sk.collect()
     assert rows and all(r["bits"] > 0 for r in rows)
     assert all(0 <= r["word"] < 64 for r in rows)
+
+
+def test_bloom_m_bits_guard_and_wide_positions(spark):
+    """r04 review: positions from an 8-hex md5 prefix silently clipped
+    any m_bits above 2^32 (the docstring sizes m ≈ 10^10 for n = 10^9).
+    The 15-hex draw must actually reach beyond 2^32, and m_bits beyond
+    the hash range must raise instead of silently degrading."""
+    import pytest as _pt
+
+    from feast_spark.operators.sketches import (
+        BLOOM_MAX_BITS, bloom_sketch,
+    )
+
+    df = spark.range(300).select(F.col("id").cast("string").alias("w"))
+    wide = bloom_sketch(df, "w", m_bits=1 << 40)
+    # each word covers 63 bits; any word index above 2^32/63 proves the
+    # draw escaped the old 32-bit range (P[miss] ≈ 2^-8 per draw)
+    assert wide.filter(F.col("word") > (1 << 32) // 63).count() > 0
+    with _pt.raises(ValueError, match="m_bits"):
+        bloom_sketch(df, "w", m_bits=BLOOM_MAX_BITS * 2)
