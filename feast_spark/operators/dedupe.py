@@ -276,7 +276,8 @@ def minhash_incremental_pairs(
     ``verify="exact"`` recomputes true shingle Jaccard on candidates —
     requires ``old_docs`` (id, text) for the historical side; the scan
     is candidate-bounded (join on candidate ids; with a doc layout
-    bucketed on the id this prunes to touched buckets). With the same
+    bucketed on the id this prunes to touched buckets). An id appearing
+    on BOTH sides (a re-crawl) verifies against the NEW batch's text. With the same
     config/threshold the result is row-identical to the batch operator
     ``minhash_near_dup_pairs`` over old∪new, restricted to pairs with a
     new endpoint (pinned by test). ``verify="signature"`` estimates
@@ -333,21 +334,42 @@ def minhash_incremental_pairs(
         raise ValueError("verify='exact' needs old_docs (id, text) for the "
                          "historical side; use verify='signature' for "
                          "index-only estimation")
-    texts = old_docs.select(
-        F.col(id_col), F.col(cfg["text_col"]).alias("__txt")
-    ).unionByName(
-        new_batch.select(F.col(id_col), F.col(cfg["text_col"]).alias("__txt"))
+    texts = (
+        new_batch.select(
+            F.col(id_col), F.col(cfg["text_col"]).alias("__txt")
+        )
+        .withColumn("__new", F.lit(1))
+        .unionByName(
+            old_docs.select(
+                F.col(id_col), F.col(cfg["text_col"]).alias("__txt")
+            ).withColumn("__new", F.lit(0))
+        )
     )
     # shingle only the docs that appear in a candidate pair: the semi
     # join prunes BEFORE the expensive shingling, so verify cost tracks
-    # the candidate set, not the corpus (old/new ids must be disjoint)
+    # the candidate set, not the corpus
     cids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = texts.join(cids, id_col, "semi").select(
-        F.col(id_col), _shingles(F.col("__txt"), cfg["shingle_k"]).alias("__sh")
+    from pyspark.sql import Window
+
+    # a re-crawled id can appear on BOTH sides with different text; the
+    # NEW text wins (re-crawl semantics). Without this, every candidate
+    # pair touching a colliding id fanned out into duplicate rows with
+    # conflicting jaccard values (r04 review batch 2). The window runs
+    # AFTER the semi join, so it is candidate-bounded, and BEFORE
+    # shingling, so no text is shingled twice.
+    one = Window.partitionBy(id_col).orderBy(F.col("__new").desc())
+    sh = (
+        texts.join(cids, id_col, "semi")
+        .withColumn("__rn", F.row_number().over(one))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            _shingles(F.col("__txt"), cfg["shingle_k"]).alias("__sh"),
+        )
     )
     return (
         cand.select("id_a", "id_b")

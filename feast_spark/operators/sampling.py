@@ -86,15 +86,33 @@ def stratified_sample(
     VERDICT r03 next #5: zero extra jobs) — call
     :func:`check_sample_guard` on the returned DataFrame after that
     action to raise on shortfall."""
+    if guard not in ("eager", "observe"):
+        raise ValueError(f"unknown guard {guard!r}")
     h = _hash_key(id_col, seed).alias("__h")
     if strategy == "window":
         w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
-        return (
+        out = (
             df.withColumn("__h", h)
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__h", "__rn")
         )
+        if guard == "observe":
+            # the window path ranks EVERY row, so min(k, n) per stratum
+            # holds by construction — but a caller that asked for the
+            # observe guard still gets one to hand to
+            # check_sample_guard (r04 review batch 2: it was silently
+            # ignored and the contractual check then raised)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("expected"),
+                F.count(F.lit(1)).alias("actual"),
+            )
+            out._feast_sample_guard = (obs, obs, oversample)
+        return out
     if strategy != "threshold":
         raise ValueError(f"unknown strategy {strategy!r}")
 

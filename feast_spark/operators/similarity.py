@@ -165,15 +165,23 @@ def choose_lsh_params(
     if hit >= 1.0 or target_recall <= hit:
         n_tables = 1
     else:
-        n_tables = max(
-            1,
-            min(
-                max_tables,
-                math.ceil(
-                    math.log(1.0 - target_recall) / math.log(1.0 - hit)
-                ),
-            ),
+        needed = math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - hit)
         )
+        n_tables = max(1, min(max_tables, needed))
+        if needed > max_tables:
+            # no silent caps (repo rule): the clamp trades recall for
+            # bounded index size — say exactly what recall survives so
+            # the caller can raise max_tables or accept the trade
+            achieved = 1.0 - (1.0 - hit) ** n_tables
+            _LOG.warning(
+                "choose_lsh_params: corpus_count=%d needs %d tables for "
+                "recall %.3f at %d bits but max_tables=%d caps it — "
+                "expected recall ~%.3f; raise max_tables/target_occupancy "
+                "or accept the shortfall",
+                corpus_count, needed, target_recall, n_bits, max_tables,
+                achieved,
+            )
     return n_bits, n_tables
 
 
@@ -400,7 +408,11 @@ def ann_index_topk(
         "__qid", "__qv",
         (F.col("__ts.sig") * n_tables + F.col("__ts.t")).cast("long")
         .alias("sig_key"),
-    )
+    # materialize the hashed queries ONCE: the prune-collect below and
+    # the serving join both consume q, and without this each ran the
+    # n_tables × dim signature computation from scratch (r04 review
+    # batch 2; same pattern as minhash_incremental_pairs)
+    ).localCheckpoint()
     sample = (
         q.select("sig_key").distinct().limit(prune_max_keys + 1).collect()
     )
@@ -728,7 +740,9 @@ def ivf_index_topk(
         ).alias("__cell_i"),
     ).select(
         "__qid", "__qv", F.col("__cell_i").cast("long").alias("cell")
-    )
+    # materialize probed queries once — prune-collect + serving join
+    # both consume q (same fix as ann_index_topk, r04 review batch 2)
+    ).localCheckpoint()
     sample = q.select("cell").distinct().limit(prune_max_keys + 1).collect()
     if len(sample) <= prune_max_keys:
         buckets = buckets_of_keys(

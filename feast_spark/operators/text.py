@@ -660,7 +660,12 @@ def blocklist_filter(
         parts = [_phrase(p) for p in banned_phrases if p]
         if len(parts) < len(banned_phrases):
             raise ValueError("banned_phrases contains an empty phrase")
-        pat = "(?i)(?:" + "|".join(parts) + ")"
+        # (?U) = Java UNICODE_CHARACTER_CLASS: the edge decision above
+        # uses Python's Unicode \w, but Java's default \b/\w are
+        # ASCII-only — without it a phrase edged by a non-ASCII letter
+        # ('казино', 'über') never sees a word boundary and is silently
+        # inert (r04 review batch 2)
+        pat = "(?iU)(?:" + "|".join(parts) + ")"
         out = out.filter(
             F.coalesce(~F.col(text_col).rlike(pat), F.lit(True))
         )

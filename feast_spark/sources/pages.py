@@ -280,6 +280,20 @@ def write_table(
             )
             if prev is None:
                 raise  # concurrent overwrite dropped HEAD mid-append
+            # a COMPLETED overwrite swept data/ (including this append's
+            # moved files) before we could commit — retrying would commit
+            # a snapshot referencing deleted files (r04 review batch 2).
+            # Cheap driver-side existence probe on our own files only.
+            missing = [
+                f["path"] for f in stats
+                if not os.path.exists(os.path.join(root, f["path"]))
+            ]
+            if missing:
+                raise CommitConflict(
+                    f"append to {root} lost its data files to a concurrent "
+                    f"overwrite (e.g. {missing[0]}); re-run the append "
+                    "against the new table"
+                )
             _validate_against_parent(
                 prev, n_buckets, dt_granularity, allow_spec_evolution
             )
@@ -725,15 +739,25 @@ def rollback(root: str, snapshot_id: int) -> dict:
     }
 
 
-def remove_orphan_files(root: str, *, dry_run: bool = False) -> dict:
+def remove_orphan_files(
+    root: str, *, dry_run: bool = False, min_age_s: float = 3 * 86400
+) -> dict:
     """Iceberg ``remove_orphan_files``: delete data files no snapshot
     references — crash leftovers from interrupted upserts/compactions
     (their unique ``upsert-*/compact-*`` names keep them inert but they
     still occupy storage). Driver-side listing here; at 100 TB the walk
     fans out like ``collect_stats_distributed`` (same file-list
-    mapInPandas shape). Never touches ``_staging`` mid-write dirs of the
-    CURRENT process — single-writer semantics mean no other writer
-    exists, so anything unreferenced is garbage."""
+    mapInPandas shape). Never touches ``_staging`` mid-write dirs.
+
+    ``min_age_s`` (Iceberg's ``older_than``, default 3 days): appends
+    are MULTI-writer, so an unreferenced file may belong to a concurrent
+    appender between its file move and its commit — sweeping it would
+    corrupt that writer's snapshot (r04 review batch 2). Only files
+    older than the threshold are treated as garbage; pass ``0`` when the
+    caller can prove no writer is in flight (tests, stop-the-world
+    maintenance)."""
+    import time as _time
+
     meta = os.path.join(root, META_DIR)
     referenced: set[str] = set()
     n_snaps = 0
@@ -750,7 +774,12 @@ def remove_orphan_files(root: str, *, dry_run: bool = False) -> dict:
             f"{root} has no snapshot manifests; refusing to sweep "
             "(orphan removal only applies to snapshot tables)"
         )
-    orphans = [p for p in _list_all_data_files(root) if p not in referenced]
+    cutoff = _time.time() - min_age_s
+    orphans = [
+        p for p in _list_all_data_files(root)
+        if p not in referenced
+        and os.path.getmtime(os.path.join(root, p)) <= cutoff
+    ]
     freed = 0
     io = get_io()
     for rel in orphans:

@@ -309,7 +309,11 @@ def stream_enrich_pit(
     Each micro-batch runs the SAME retrieval planner as batch
     (``plans.retrieval.plan_retrieval`` inside ``foreachBatch``), so
     manifest pruning, TTL semantics and tie-breaks are one code path;
-    results append to a parquet ``dest``. Probes watermark on ``ts_col``
+    results land in a parquet ``dest`` partitioned by ``__batch`` via
+    DYNAMIC partition overwrite — a replayed micro-batch (crash between
+    the parquet write and the checkpoint commit) rewrites only its own
+    partition instead of appending duplicates (exactly-once; r04 review
+    batch 2). Probes watermark on ``ts_col``
     and, when ``dedupe_keys`` is given, duplicate probes within the
     watermark are dropped BEFORE enrichment — the only stateful piece,
     and its state is watermark-bounded (T1).
@@ -335,7 +339,13 @@ def stream_enrich_pit(
             store, batch_df, features,
             full_feature_names=full_feature_names, strategy=strategy,
         )
-        out.write.mode("append").parquet(dest)
+        (
+            out.withColumn("__batch", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch")
+            .mode("overwrite")
+            .parquet(dest)
+        )
 
     writer = s.writeStream.foreachBatch(enrich).outputMode("append")
     if checkpoint:

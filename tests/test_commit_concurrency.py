@@ -214,7 +214,7 @@ class TestCrashedAppendOrphans:
         fileio.set_io(fileio.FileIO())
         # reader still serves the previous snapshot only
         assert layout.read_table(spark, root).count() == 4
-        swept = layout.remove_orphan_files(root)
+        swept = layout.remove_orphan_files(root, min_age_s=0)
         assert swept["orphans_found"] > 0
         assert all("append-" in p for p in swept["paths"])
         # and a healthy retry lands normally
@@ -225,3 +225,35 @@ class TestCrashedAppendOrphans:
             mode="append",
         )
         assert layout.read_table(spark, root).count() == 8
+
+
+def test_append_racing_completed_overwrite_refuses(spark, tmp_path, monkeypatch):
+    """r04 review batch 2: an append that loses its commit race to a
+    COMPLETED overwrite must refuse, not retry — the overwrite's dir
+    swap already moved the append's data files aside, so a retried
+    commit would reference files that no longer exist."""
+    root = str(tmp_path / "t")
+    df = lambda tag, n: spark.createDataFrame(  # noqa: E731
+        _rows(tag, n, 1), "url string, warc_ts string, v string"
+    ).selectExpr("url", "CAST(warc_ts AS TIMESTAMP) warc_ts", "v")
+    layout.write_table(df("base", 3), root, n_buckets=2)
+
+    real_commit = layout._commit_snapshot
+    fired = {"done": False}
+
+    def racing_commit(root_, snapshot, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # the competing overwrite completes BEFORE our flip lands
+            monkeypatch.setattr(layout, "_commit_snapshot", real_commit)
+            layout.write_table(df("over", 2), root, n_buckets=2)
+            raise layout.CommitConflict("injected: lost the HEAD race")
+        return real_commit(root_, snapshot, **kw)
+
+    monkeypatch.setattr(layout, "_commit_snapshot", racing_commit)
+    with pytest.raises(layout.CommitConflict, match="lost its data files"):
+        layout.write_table(df("app", 2), root, n_buckets=2, mode="append")
+    # the table is exactly the overwrite's content — the refused append
+    # neither committed nor corrupted anything
+    got = {r["url"] for r in layout.read_table(spark, root).collect()}
+    assert got == {f"https://x.test/over{i}" for i in range(2)}

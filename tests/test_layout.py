@@ -662,14 +662,14 @@ def test_remove_orphan_files(spark, tmp_path_factory, monkeypatch):
         fileio.set_io(prev)
 
     before = layout.read_table(spark, root).count()
-    dry = layout.remove_orphan_files(root, dry_run=True)
+    dry = layout.remove_orphan_files(root, dry_run=True, min_age_s=0)
     assert dry["orphans_found"] >= 1 and dry["orphans_removed"] == 0
-    swept = layout.remove_orphan_files(root)
+    swept = layout.remove_orphan_files(root, min_age_s=0)
     assert swept["orphans_removed"] == dry["orphans_found"]
     assert swept["bytes_freed"] > 0
     # table content untouched; a second sweep finds nothing
     assert layout.read_table(spark, root).count() == before
-    assert layout.remove_orphan_files(root)["orphans_found"] == 0
+    assert layout.remove_orphan_files(root, min_age_s=0)["orphans_found"] == 0
 
 
 def test_append_after_rollback_gets_unique_snapshot_id(spark, tmp_path_factory):
@@ -896,3 +896,27 @@ def test_snapshot_summary_properties_roundtrip(spark, tmp_path_factory):
     hit = layout.snapshot_with_summary(root, "stream_batch", "7")
     assert hit is not None and hit["summary"]["stream_fp"] == "1:42"
     assert layout.snapshot_with_summary(root, "stream_batch", "8") is None
+
+
+def test_orphan_sweep_spares_young_files_by_default(
+    spark, pages_df, tmp_path_factory
+):
+    """r04 review batch 2: appends are multi-writer, so a fresh
+    unreferenced file may be a concurrent appender's moved-but-not-yet-
+    committed data — the default min_age_s must spare it; min_age_s=0
+    opts into the stop-the-world sweep."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("orphan_age") / "t")
+    layout.write_table(pages_df, root, n_buckets=2)
+    orphan = os.path.join(
+        root, layout.DATA_DIR, "dt=2023-11", "bucket=0",
+        "append-deadbeef-0000.parquet",
+    )
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    out = layout.remove_orphan_files(root)  # default 3-day threshold
+    assert out["orphans_found"] == 0 and os.path.exists(orphan)
+    out = layout.remove_orphan_files(root, min_age_s=0)
+    assert out["orphans_found"] == 1 and not os.path.exists(orphan)

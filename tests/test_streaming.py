@@ -405,7 +405,7 @@ def test_stream_enrich_pit_equals_batch_retrieval(
     )
     q.awaitTermination()
 
-    got = spark.read.parquet(dest)
+    got = spark.read.parquet(dest).drop("__batch")
     want = store.get_historical_features(probes, ["pg:n_chars"])
     assert got.count() == probes.count()
     assert got.exceptAll(want).count() == 0
@@ -652,3 +652,52 @@ def test_stream_agg_fresh_checkpoint_with_new_data_raises(
 
     with pytest.raises(StreamingQueryException, match="different contents"):
         run("ckpt2")
+
+
+def test_stream_enrich_pit_replay_is_idempotent(
+    spark, pages_df, tmp_path_factory
+):
+    """r04 review batch 2: a replayed enrichment micro-batch (crash
+    between the parquet write and the checkpoint commit) must rewrite
+    its own __batch partition, not append duplicates."""
+    from datetime import timedelta
+
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    base = tmp_path_factory.mktemp("stream_pit_replay")
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="pgr",
+            entity=Entity("url", "url"),
+            source=lambda sp_, df=pages_df: df.select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                F.length("text").cast("long").alias("n_chars"),
+            ).dropDuplicates(["url", "warc_ts"]),
+            features=[FeatureSpec("n_chars", "bigint")],
+            ttl=timedelta(days=90),
+            timestamp_field="warc_ts",
+        )
+    )
+    probes = pages_df.select(
+        "url",
+        (F.col("warc_ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR"))
+        .alias("ts"),
+    ).dropDuplicates(["url", "ts"]).limit(50)
+    src = str(base / "probes")
+    probes.coalesce(1).write.parquet(src)
+    dest = str(base / "out")
+
+    def run(ck):
+        stream = spark.readStream.schema("url string, ts timestamp").parquet(src)
+        sp.stream_enrich_pit(
+            stream, store, ["pgr:n_chars"], dest,
+            checkpoint=str(base / ck),
+        ).awaitTermination()
+
+    run("ckpt1")
+    first = spark.read.parquet(dest).drop("__batch").collect()
+    run("ckpt2")  # fresh checkpoint replays batch 0 over the same probes
+    second = spark.read.parquet(dest).drop("__batch").collect()
+    assert len(second) == len(first) == probes.count()
