@@ -2826,9 +2826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "pack_sequences": q_pack_sequences,
         "simhash_pairs": q_simhash_pairs,
-        # -- implementation changed in round 4 (re-sign)
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
+        # -- never driver-signed: WAP publish flow + the 22-language
+        # lang_id rework (the r03 signature predates the new model)
+        "layout_wap_publish": q_layout_wap_publish,
+        "lang_id": q_lang_id,
         # -- NEW in round 4: RefinedWeb per-domain quota + blocklist
         "domain_quota": q_domain_quota,
         "blocklist_filter": q_blocklist_filter,
@@ -2861,11 +2862,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + snapshot-delta materialization built on it
         "layout_incremental": q_layout_incremental,
         "materialize_delta": q_materialize_delta,
-        # -- NEW in round 4: branch writes + write-audit-publish
-        "layout_wap_publish": q_layout_wap_publish,
+        # -- implementation changed in round 4 (signed r03; values
+        # unchanged by the refactors, kept post-prefix)
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
-        "lang_id": q_lang_id,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_buckets": q_simhash_buckets,
         "cosine_topk": q_cosine_topk,
