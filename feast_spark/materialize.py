@@ -378,10 +378,28 @@ class MaterializeJob:
             ):
                 raise RuntimeError(f"injected failure before batch {pid}")
             record = self._run_batch(start, end, buckets, snap_id)
-            record["complete"] = complete
             layout.write_lineage(self.dest, pid, record)
             done += 1
             total_rows += record["rows_out"]
+        if complete and snap_id is not None:
+            # the completeness marker is written ONLY after every bucket
+            # batch has committed (r04 review batch 3: a per-batch flag
+            # let a crashed multi-batch run pass materialize_delta's
+            # baseline check with half its buckets unmaterialized), and
+            # ONLY when True — a later bounded run at the same snapshot
+            # must not clobber a verified marker with False
+            tag = f"{self.lineage_tag}-" if self.lineage_tag else ""
+            layout.write_lineage(
+                self.dest,
+                f"{tag}complete-{snap_id:06d}",
+                {
+                    "input_snapshot": snap_id,
+                    "start": str(start),
+                    "end": str(end),
+                    "rows_out": total_rows,
+                    "complete": True,
+                },
+            )
         wall_s = time.monotonic() - t0
         return {
             "batches_run": done,

@@ -78,8 +78,9 @@ def stratified_sample(
     than min(k, n) survivors for a stratum (hash-tail bad luck at tiny
     oversample), it raises rather than silently under-sampling.
 
-    ``guard`` (threshold strategy only) controls HOW the guarantee is
-    checked: ``"eager"`` runs a bounded extra action at call time and
+    ``guard`` controls HOW the guarantee is checked (the window
+    strategy satisfies it by construction — its ``observe`` guard is a
+    trivially-passing one so callers can check uniformly): ``"eager"`` runs a bounded extra action at call time and
     raises immediately — simple, but re-executes the (prefiltered)
     survivor plan. ``"observe"`` folds the check into CollectMetrics
     nodes riding the caller's OWN first action (the CC pattern,
@@ -175,8 +176,6 @@ def stratified_sample(
         )
         out._feast_sample_guard = (obs_in, obs_out, oversample)
         return out
-    if guard != "eager":
-        raise ValueError(f"unknown guard {guard!r}")
     ranked = survivors.withColumn("__rn", F.row_number().over(w))
     # guarantee check: each stratum must keep min(k, n) survivors. The
     # check is anchored on `counts` (every stratum in the INPUT), not on

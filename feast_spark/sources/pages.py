@@ -775,10 +775,17 @@ def remove_orphan_files(
             "(orphan removal only applies to snapshot tables)"
         )
     cutoff = _time.time() - min_age_s
+
+    def _old_enough(rel: str) -> bool:
+        try:
+            return os.path.getmtime(os.path.join(root, rel)) <= cutoff
+        except OSError:
+            return False  # vanished since listing (concurrent overwrite
+            # dir-swap / expire / parallel sweep) — nothing to remove
+
     orphans = [
         p for p in _list_all_data_files(root)
-        if p not in referenced
-        and os.path.getmtime(os.path.join(root, p)) <= cutoff
+        if p not in referenced and _old_enough(p)
     ]
     freed = 0
     io = get_io()

@@ -40,6 +40,7 @@ from __future__ import annotations
 import glob as _glob
 import gzip
 import io
+import logging
 import os
 import uuid
 from collections.abc import Iterator
@@ -48,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_LOG = logging.getLogger(__name__)
 
 WARC_SCHEMA = T.StructType(
     [
@@ -289,11 +292,29 @@ def stream_warc_dir(
         if not paths:
             return
         done: set[str] = set()
+        any_summary = False
         if is_table(dest_root):
             for snap in layout.iter_snapshots(dest_root):
-                done.update(
-                    snap.get("summary", {}).get("warc_segments", [])
-                )
+                segs = snap.get("summary", {}).get("warc_segments")
+                if segs:
+                    any_summary = True
+                    done.update(segs)
+        # tables ingested by the pre-summary code carry only the legacy
+        # batch-id ledger (no file lists anywhere) — honor it for replay
+        # protection so upgrading does not double-ingest on a replayed
+        # batch (r04 review batch 3); its fresh-checkpoint hole remains
+        # for those legacy batches only, until new appends take over
+        legacy = os.path.join(
+            dest_root, "_stream_ingest", f"batch-{batch_id}.json"
+        )
+        if not any_summary and os.path.exists(legacy):
+            _LOG.warning(
+                "stream_warc_dir: batch %d skipped via the legacy "
+                "_stream_ingest ledger at %s; re-ingest into a fresh "
+                "table to gain per-segment exactly-once",
+                batch_id, dest_root,
+            )
+            return
         new = [p for p in paths if p not in done]
         if not new:
             return  # replay, or a reset checkpoint re-presenting old files

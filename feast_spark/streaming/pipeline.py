@@ -225,17 +225,22 @@ def stream_agg_to_online(
             return
         spark = batch_df.sparkSession
         batch_df = batch_df.withColumn(ts, F.col(ts).cast("timestamp"))
-        # bounds + order-independent content fingerprint in ONE pass
+        # bounds + order-independent content fingerprint in ONE pass.
+        # xor alone is blind to rows repeated an EVEN number of times
+        # ([r1,r1] and [r2,r2] both xor to 0 — r04 review batch 3), so
+        # the multiset sum of hashes rides along (decimal(38,0): no
+        # ANSI overflow until ~10^19 rows)
         row_hash = F.xxhash64(*[F.col(c) for c in batch_df.columns])
         stats = batch_df.withColumn("__h", row_hash).agg(
             F.min(ts).alias("lo"),
             F.max(ts).alias("hi"),
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(__h)").alias("xr"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("sm"),
         ).first()
         if stats["lo"] is None:
             return
-        fp = f'{stats["n"]}:{stats["xr"]}'
+        fp = f'{stats["n"]}:{stats["xr"]}:{stats["sm"]}'
         prior = (
             layout.snapshot_with_summary(
                 history_root, "stream_batch", str(batch_id)
@@ -262,12 +267,17 @@ def stream_agg_to_online(
             )
         if unbounded:
             head = layout.current_snapshot(history_root)
-            his = [f["max_ts"] for f in head["files"] if f.get("max_ts")]
-            if his:
+            his = [f.get("max_ts") for f in head["files"]]
+            # footer stats are trustworthy only when EVERY file carries
+            # them: a stats-less file may hold the newest anchor, and
+            # max over the stat-bearing subset would underestimate the
+            # recompute bound, leaving that anchor stale (r04 review
+            # batch 3) — fall back to one scan instead
+            if his and all(h is not None for h in his):
                 hi = _dt.datetime.fromisoformat(max(his))
                 if hi.tzinfo is not None:  # UTC-flagged footer stats
                     hi = hi.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            else:  # footer ts stats unavailable: one bounded scan
+            else:
                 hi = (
                     layout.read_table(spark, history_root)
                     .agg(F.max(F.col(ts).cast("timestamp")))
@@ -312,8 +322,11 @@ def stream_enrich_pit(
     results land in a parquet ``dest`` partitioned by ``__batch`` via
     DYNAMIC partition overwrite — a replayed micro-batch (crash between
     the parquet write and the checkpoint commit) rewrites only its own
-    partition instead of appending duplicates (exactly-once; r04 review
-    batch 2). Probes watermark on ``ts_col``
+    partition instead of appending duplicates. Exactly-once therefore
+    holds under the SAME checkpoint (replays reuse batch ids); a RESET
+    checkpoint re-batches from 0 and must write to a fresh ``dest`` —
+    the same contract as Spark's own file sink and its _spark_metadata
+    log. Probes watermark on ``ts_col``
     and, when ``dedupe_keys`` is given, duplicate probes within the
     watermark are dropped BEFORE enrichment — the only stateful piece,
     and its state is watermark-bounded (T1).

@@ -74,11 +74,14 @@ def test_materialize_latest_per_key(spark, pages_df, table_root, tmp_path_factor
     # timestamps must still agree
     assert (got["warc_ts"].values == want["warc_ts"].values).all()
 
-    # lineage manifests exist, carry metrics
+    # lineage manifests exist, carry metrics; a finished run adds ONE
+    # completeness marker on top of the per-batch records
     lineage = layout.list_lineage(dest)
-    assert len(lineage) == B // 2
-    assert all(l["rows_out"] > 0 and l["max_event_ts"] for l in lineage)
-    assert sum(l["rows_out"] for l in lineage) == len(got)
+    marks = [l for l in lineage if l.get("complete")]
+    batches = [l for l in lineage if not l.get("complete")]
+    assert len(batches) == B // 2 and len(marks) == 1
+    assert all(l["rows_out"] > 0 and l["max_event_ts"] for l in batches)
+    assert sum(l["rows_out"] for l in batches) == len(got)
 
 
 def test_resume_after_failure_identical(spark, table_root, tmp_path_factory):

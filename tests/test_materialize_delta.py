@@ -157,3 +157,31 @@ def test_incremental_chain_keeps_completeness(spark, tmp_path):
     out = materialize_delta(spark, view(root), dest)
     assert out["rows_pushed"] == 1
     assert set(served(spark, dest)) == {"a", "b", "c"}
+
+
+def test_crashed_multibatch_run_is_not_a_delta_baseline(spark, tmp_path):
+    """r04 review batch 3: the completeness marker must land only after
+    EVERY bucket batch commits — a per-batch flag let a crashed run pass
+    the baseline check with half its buckets unmaterialized."""
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    rows = [(f"u{i}", "2024-01-01 00:00:00", float(i)) for i in range(8)]
+    layout.write_table(mk(spark, rows), root, key_col="url", ts_col="ts",
+                       n_buckets=4)
+    job = lambda: MaterializeJob(  # noqa: E731
+        spark, view(root), dest, n_buckets=4, bucket_batch=2,
+        fail_after_batches=1,
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job().run(START, END)
+    with pytest.raises(ValueError, match="not verifiably complete"):
+        materialize_delta(spark, view(root), dest)
+    # resume to completion: the marker lands, delta accepts the baseline
+    MaterializeJob(spark, view(root), dest, n_buckets=4, bucket_batch=2).run(
+        START, END
+    )
+    layout.write_table(
+        mk(spark, [("z", "2024-02-01 00:00:00", 9.0)]), root,
+        key_col="url", ts_col="ts", n_buckets=4, mode="append",
+    )
+    out = materialize_delta(spark, view(root), dest)
+    assert out["rows_pushed"] == 1 and len(served(spark, dest)) == 9

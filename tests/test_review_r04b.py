@@ -103,3 +103,147 @@ def test_stratified_sample_window_guard_observe_and_validation(spark):
             df, group_col="g", id_col="id", k=5,
             strategy="window", guard="bogus",
         )
+
+
+def test_stream_agg_fingerprint_sees_even_multiplicity_change(
+    spark, tmp_path_factory
+):
+    """r04 review batch 3: count + xor alone is blind to rows repeated
+    an even number of times ([r1,r1] and [r2,r2] both xor to 0); the
+    multiset-sum term must make a reset checkpoint with different
+    duplicated rows RAISE instead of silently skipping the append."""
+    from datetime import datetime, timedelta
+
+    from pyspark.errors import StreamingQueryException
+
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+    from feast_spark.streaming import pipeline as sp
+
+    base = tmp_path_factory.mktemp("fp_even")
+    schema = "warc_ts timestamp, url string, value double"
+    view = FeatureView(
+        name="fpe",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value_3600s", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", timedelta(hours=1))],
+    )
+    dest, hist = str(base / "store"), str(base / "hist")
+    r1 = (datetime(2024, 1, 1, 0, 0), "u", 1.0)
+    r2 = (datetime(2024, 1, 1, 0, 0), "u", 2.0)
+
+    def run(src, ck):
+        stream = spark.readStream.schema(schema).parquet(src)
+        sp.stream_agg_to_online(
+            stream, view, dest, history_root=hist, n_buckets=2,
+            checkpoint=str(base / ck),
+        ).awaitTermination()
+
+    src1 = str(base / "src1")
+    spark.createDataFrame([r1, r1], schema).coalesce(1).write.parquet(src1)
+    run(src1, "ck1")
+    src2 = str(base / "src2")
+    spark.createDataFrame([r2, r2], schema).coalesce(1).write.parquet(src2)
+    with pytest.raises(StreamingQueryException, match="different contents"):
+        run(src2, "ck2")  # same count, same xor — the sum term must differ
+
+
+def test_stream_agg_unbounded_scan_fallback_on_partial_stats(
+    spark, tmp_path_factory
+):
+    """r04 review batch 3: footer max_ts over only the stat-bearing
+    files underestimates the recompute bound when a stats-less file
+    holds the newest anchor — the scan fallback must kick in whenever
+    ANY file lacks ts stats."""
+    import json
+    import os
+    from datetime import datetime
+
+    from feast_spark.materialize import read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+    from feast_spark.sources import pages as layout
+    from feast_spark.streaming import pipeline as sp
+
+    base = tmp_path_factory.mktemp("partial_stats")
+    schema = "warc_ts timestamp, url string, value double"
+    view = FeatureView(
+        name="ps",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", None)],
+    )
+    dest, hist = str(base / "store"), str(base / "hist")
+    src = str(base / "src")
+    spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 1), "u", 1.0),
+            (datetime(2024, 1, 1, 5), "u", 2.0),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        sp.stream_agg_to_online(
+            stream, view, dest, history_root=hist, n_buckets=2,
+            checkpoint=str(base / ck),
+        ).awaitTermination()
+
+    run("ck")
+    # simulate a stats-less newest file: null every footer ts stat in
+    # HEAD (worse than the mixed case — forces the fallback outright)
+    meta = os.path.join(hist, "metadata")
+    head = os.path.join(meta, open(os.path.join(meta, "HEAD")).read().strip())
+    snap = json.load(open(head))
+    for f in snap["files"]:
+        f["max_ts"] = None
+    json.dump(snap, open(head, "w"))
+    # late row below the served 05:00 anchor arrives in batch 2
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 2), "u", 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run("ck")  # same checkpoint continues with the new file
+    got = {
+        r["url"]: (str(r["warc_ts"]), r["sum_value"])
+        for r in read_online(spark, dest).collect()
+    }
+    assert got["u"] == ("2024-01-01 05:00:00", 13.0)
+
+
+def test_orphan_sweep_skips_concurrently_vanished_file(
+    spark, pages_df, tmp_path_factory, monkeypatch
+):
+    """r04 review batch 3: a file deleted between listing and the age
+    stat must be skipped, not crash the sweep."""
+    import os
+
+    from feast_spark.sources import pages as layout
+
+    root = str(tmp_path_factory.mktemp("vanish") / "t")
+    layout.write_table(pages_df, root, n_buckets=2)
+    orphan = os.path.join(
+        root, layout.DATA_DIR, "dt=2023-11", "bucket=0",
+        "append-cafebabe-0000.parquet",
+    )
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    real = os.path.getmtime
+
+    def racy(p):
+        if p == orphan:
+            raise FileNotFoundError(p)  # vanished after listing
+        return real(p)
+
+    monkeypatch.setattr(os.path, "getmtime", racy)
+    out = layout.remove_orphan_files(root, min_age_s=0)
+    assert out["orphans_found"] == 0  # skipped, no crash

@@ -126,3 +126,30 @@ def test_register_table_sql_surface(spark, tmp_path):
     assert spark.sql("SELECT count(*) AS n FROM crawl").collect()[0]["n"] == 3
     layout.register_table(spark, dest, "crawl")
     assert spark.sql("SELECT count(*) AS n FROM crawl").collect()[0]["n"] == 4
+
+
+def test_legacy_ledger_still_guards_replays(spark, tmp_path):
+    """r04 review batch 3: tables ingested by the pre-summary code have
+    no warc_segments summaries — only the legacy batch-id ledger. A
+    replayed batch against such a table must still be skipped."""
+    import json
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    p = seg(indir, "a.warc.gz", [("u1", 1)])
+    # simulate the OLD code's state: table written WITHOUT summaries,
+    # plus its _stream_ingest/batch-0.json ledger
+    df = warc.read_warc(spark, [p])
+    layout.write_table(
+        wet(df), dest, key_col="url", ts_col="warc_date", n_buckets=2,
+    )
+    ldir = tmp_path / "tbl" / "_stream_ingest"
+    ldir.mkdir()
+    (ldir / "batch-0.json").write_text(
+        json.dumps({"batch_id": 0, "snapshot": 1, "n_files": 1})
+    )
+    head = layout.current_snapshot(dest)["snapshot_id"]
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    assert layout.current_snapshot(dest)["snapshot_id"] == head
+    assert layout.read_table(spark, dest).count() == 1
