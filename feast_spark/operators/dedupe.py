@@ -141,9 +141,28 @@ def minhash_near_dup_pairs(
     sh = df.select(
         F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("__sh")
     )
+    # ONE corpus scan for verification: both pair legs are melted into a
+    # candidate-sized table that joins the shingle frame once (Spark
+    # broadcasts the small leg side, so the corpus is scanned — and
+    # shingled — a single time), then per-pair reassembly shuffles only
+    # 2 rows per candidate pair. The previous two-join shape shingled
+    # the corpus twice — at 10^12 docs, a whole extra corpus pass.
+    legs = cand.select("id_a", "id_b", F.col("id_a").alias(id_col)).unionByName(
+        cand.select("id_a", "id_b", F.col("id_b").alias(id_col))
+    )
     verified = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "__sh": "__sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "__sh": "__sh_b"}), "id_b")
+        legs.join(sh, id_col)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col(id_col) == F.col("id_a"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sh_a"),
+            F.first(
+                F.when(F.col(id_col) == F.col("id_b"), F.col("__sh")),
+                ignorenulls=True,
+            ).alias("__sh_b"),
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__sh_a", "__sh_b"))
