@@ -566,8 +566,11 @@ def materialize_delta(
     # time-bounded run also records input_snapshot=HEAD but leaves
     # out-of-range rows unmaterialized — resuming by snapshot from it
     # would make those rows silently unservable forever (r04 review)
+    # only RUN-LEVEL markers count ("buckets" identifies a legacy
+    # per-batch record, whose complete flag could survive a crashed
+    # multi-batch run — r04 review batch 4)
     if not any(
-        r.get("complete")
+        r.get("complete") and "buckets" not in r
         for r in layout.list_lineage(dest)
         if r.get("input_snapshot") == last
     ):

@@ -411,8 +411,10 @@ def ann_index_topk(
     # materialize the hashed queries ONCE: the prune-collect below and
     # the serving join both consume q, and without this each ran the
     # n_tables × dim signature computation from scratch (r04 review
-    # batch 2; same pattern as minhash_incremental_pairs)
-    ).localCheckpoint()
+    # batch 2). persist(), not localCheckpoint(): evictable, lineage
+    # kept (executor loss recomputes instead of failing the query), and
+    # a long-lived serving session doesn't pin blocks forever
+    ).persist()
     sample = (
         q.select("sig_key").distinct().limit(prune_max_keys + 1).collect()
     )
@@ -741,8 +743,9 @@ def ivf_index_topk(
     ).select(
         "__qid", "__qv", F.col("__cell_i").cast("long").alias("cell")
     # materialize probed queries once — prune-collect + serving join
-    # both consume q (same fix as ann_index_topk, r04 review batch 2)
-    ).localCheckpoint()
+    # both consume q (same persist-not-localCheckpoint reasoning as
+    # ann_index_topk)
+    ).persist()
     sample = q.select("cell").distinct().limit(prune_max_keys + 1).collect()
     if len(sample) <= prune_max_keys:
         buckets = buckets_of_keys(

@@ -292,29 +292,43 @@ def stream_warc_dir(
         if not paths:
             return
         done: set[str] = set()
-        any_summary = False
         if is_table(dest_root):
             for snap in layout.iter_snapshots(dest_root):
-                segs = snap.get("summary", {}).get("warc_segments")
-                if segs:
-                    any_summary = True
-                    done.update(segs)
+                done.update(
+                    snap.get("summary", {}).get("warc_segments", [])
+                )
         # tables ingested by the pre-summary code carry only the legacy
-        # batch-id ledger (no file lists anywhere) — honor it for replay
-        # protection so upgrading does not double-ingest on a replayed
-        # batch (r04 review batch 3); its fresh-checkpoint hole remains
-        # for those legacy batches only, until new appends take over
+        # batch-id ledger (no file lists anywhere, so their segments can
+        # never enter `done`). Honor it for PURE replays — same batch id
+        # AND same file count — and REFUSE on mismatch: the ledger can't
+        # say which of the presented files were ingested, so both
+        # skipping (drops new segments) and diffing (double-ingests
+        # legacy segments) silently corrupt (r04 review batches 3+4).
         legacy = os.path.join(
             dest_root, "_stream_ingest", f"batch-{batch_id}.json"
         )
-        if not any_summary and os.path.exists(legacy):
-            _LOG.warning(
-                "stream_warc_dir: batch %d skipped via the legacy "
-                "_stream_ingest ledger at %s; re-ingest into a fresh "
-                "table to gain per-segment exactly-once",
-                batch_id, dest_root,
+        if os.path.exists(legacy):
+            import json as _json
+
+            with open(legacy) as f:
+                rec = _json.load(f)
+            presented_new = [p for p in paths if p not in done]
+            if rec.get("n_files") == len(presented_new):
+                _LOG.warning(
+                    "stream_warc_dir: batch %d skipped via the legacy "
+                    "ledger %s; re-ingest into a fresh table to gain "
+                    "per-segment exactly-once",
+                    batch_id, legacy,
+                )
+                return
+            raise RuntimeError(
+                f"batch {batch_id} presents {len(presented_new)} "
+                f"unaccounted segments but the legacy ledger {legacy} "
+                f"recorded {rec.get('n_files')} — a reset checkpoint "
+                "over a legacy-ingested table cannot be safely diffed "
+                "(the old ledger has no file lists); re-ingest into a "
+                "fresh table or restore the original checkpoint"
             )
-            return
         new = [p for p in paths if p not in done]
         if not new:
             return  # replay, or a reset checkpoint re-presenting old files

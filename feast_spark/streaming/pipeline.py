@@ -249,7 +249,13 @@ def stream_agg_to_online(
             else None
         )
         if prior is not None:
-            if prior["summary"].get("stream_fp") != fp:
+            prior_fp = prior["summary"].get("stream_fp") or ""
+            # markers written before the multiset-sum term carry the
+            # two-segment 'n:xr' format — compare on the common prefix
+            # so upgrading does not misdiagnose a legitimate crash
+            # replay as a reset checkpoint (r04 review batch 4)
+            n_seg = prior_fp.count(":") + 1
+            if prior_fp != ":".join(fp.split(":")[:n_seg]):
                 raise RuntimeError(
                     f"history table {history_root} already ingested a "
                     f"batch {batch_id} with different contents — a fresh "

@@ -185,3 +185,28 @@ def test_crashed_multibatch_run_is_not_a_delta_baseline(spark, tmp_path):
     )
     out = materialize_delta(spark, view(root), dest)
     assert out["rows_pushed"] == 1 and len(served(spark, dest)) == 9
+
+
+def test_legacy_per_batch_complete_records_are_not_a_baseline(
+    spark, tmp_path
+):
+    """r04 review batch 4: stores written by the pre-marker code carry
+    complete=True on PER-BATCH records (identifiable by their 'buckets'
+    key); a crashed multi-batch run left them behind, so they must not
+    satisfy the delta baseline check."""
+    root, dest = str(tmp_path / "t"), str(tmp_path / "o")
+    rows = [(f"u{i}", "2024-01-01 00:00:00", float(i)) for i in range(8)]
+    layout.write_table(mk(spark, rows), root, key_col="url", ts_col="ts",
+                       n_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        MaterializeJob(
+            spark, view(root), dest, n_buckets=4, bucket_batch=2,
+            fail_after_batches=1,
+        ).run(START, END)
+    # simulate the old code's on-disk state: per-batch record with the flag
+    recs = layout.list_lineage(dest)
+    assert len(recs) == 1 and "buckets" in recs[0]
+    recs[0]["complete"] = True
+    layout.write_lineage(dest, recs[0]["partition_id"], recs[0])
+    with pytest.raises(ValueError, match="not verifiably complete"):
+        materialize_delta(spark, view(root), dest)

@@ -247,3 +247,58 @@ def test_orphan_sweep_skips_concurrently_vanished_file(
     monkeypatch.setattr(os.path, "getmtime", racy)
     out = layout.remove_orphan_files(root, min_age_s=0)
     assert out["orphans_found"] == 0  # skipped, no crash
+
+
+def test_stream_agg_accepts_legacy_two_segment_fingerprint(
+    spark, tmp_path_factory
+):
+    """r04 review batch 4: markers written before the multiset-sum term
+    carry 'n:xr' — a crash replay against one must match on the common
+    prefix, not crash the stream as a reset checkpoint."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    from feast_spark.materialize import read_online
+    from feast_spark.registry import (
+        Aggregation, Entity, FeatureSpec, FeatureView,
+    )
+    from feast_spark.sources import pages as layout
+    from feast_spark.streaming import pipeline as sp
+
+    base = tmp_path_factory.mktemp("fp_legacy")
+    schema = "warc_ts timestamp, url string, value double"
+    view = FeatureView(
+        name="fpl",
+        entity=Entity("url", "url"),
+        source="unused",
+        features=[FeatureSpec("sum_value_3600s", "double")],
+        timestamp_field="warc_ts",
+        aggregations=[Aggregation("value", "sum", timedelta(hours=1))],
+    )
+    dest, hist = str(base / "store"), str(base / "hist")
+    src = str(base / "src")
+    spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0), "u", 1.0)], schema
+    ).coalesce(1).write.parquet(src)
+
+    def run(ck):
+        stream = spark.readStream.schema(schema).parquet(src)
+        sp.stream_agg_to_online(
+            stream, view, dest, history_root=hist, n_buckets=2,
+            checkpoint=str(base / ck),
+        ).awaitTermination()
+
+    run("ck1")
+    # rewrite the committed marker into the legacy two-segment format
+    meta = os.path.join(hist, "metadata")
+    head = os.path.join(meta, open(os.path.join(meta, "HEAD")).read().strip())
+    snap = json.load(open(head))
+    n, xr, _sm = snap["summary"]["stream_fp"].split(":")
+    snap["summary"]["stream_fp"] = f"{n}:{xr}"
+    json.dump(snap, open(head, "w"))
+    before = layout.current_snapshot(hist)["snapshot_id"]
+    run("ck2")  # identical replay against the legacy marker: must skip
+    assert layout.current_snapshot(hist)["snapshot_id"] == before
+    got = read_online(spark, dest).collect()
+    assert len(got) == 1 and got[0]["sum_value_3600s"] == 1.0

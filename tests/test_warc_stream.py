@@ -153,3 +153,31 @@ def test_legacy_ledger_still_guards_replays(spark, tmp_path):
     run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
     assert layout.current_snapshot(dest)["snapshot_id"] == head
     assert layout.read_table(spark, dest).count() == 1
+
+
+def test_legacy_ledger_mismatch_raises_not_drops(spark, tmp_path):
+    """r04 review batch 4: a reset checkpoint over a legacy table whose
+    batch id collides with a legacy ledger entry but presents a
+    DIFFERENT file count cannot be safely diffed — it must raise, not
+    silently drop the new segments."""
+    import json
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    p = seg(indir, "a.warc.gz", [("u1", 1)])
+    df = warc.read_warc(spark, [p])
+    layout.write_table(
+        wet(df), dest, key_col="url", ts_col="warc_date", n_buckets=2,
+    )
+    ldir = tmp_path / "tbl" / "_stream_ingest"
+    ldir.mkdir()
+    (ldir / "batch-0.json").write_text(
+        json.dumps({"batch_id": 0, "snapshot": 1, "n_files": 1})
+    )
+    seg(indir, "b.warc.gz", [("u2", 2)])  # new segment joins batch 0
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="cannot be safely"):
+        run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    assert layout.read_table(spark, dest).count() == 1  # nothing corrupted
