@@ -929,9 +929,11 @@ def q_vector_retrieval(spark, sf_dir):
     FeatureStore.retrieve_online_documents — upstream Feast's
     retrieve_online_documents): FeatureSpec(vector_index=True) view
     over the embeddings table, persisted index via build_vector_index,
-    single-query top-k (rows-only like the other LSH entries; the
-    serving path is pinned semantically in tests/test_vector_store.py:
-    planted-cluster recall, latest-per-key indexing, store
+    single-query top-k in exhaustive-probe audit mode (VERDICT r04 next
+    #2: probe_all makes results equal exact brute-force top-k, so the
+    DuckDB oracle hash-checks the whole registry→index→serve path).
+    Approximate serving stays pinned in tests/test_vector_store.py
+    (planted-cluster recall, latest-per-key indexing, store
     enrichment)."""
     import tempfile
 
@@ -952,17 +954,73 @@ def q_vector_retrieval(spark, sf_dir):
     )
     fs.build_vector_index("vecs", n_bits=4, n_tables=4, n_buckets=32)
     qvec = [r["embedding"] for r in e.filter(F.col("vec_id") == 0).collect()][0]
-    return fs.retrieve_online_documents("vecs", qvec, top_k=5).select(
-        "vec_id", F.round("distance", 4).alias("distance")
+    return fs.retrieve_online_documents(
+        "vecs", qvec, top_k=5, probe_all=True
+    ).select("vec_id", F.round("distance", 4).alias("distance"))
+
+
+def q_vector_ttl_enrich(spark, sf_dir):
+    """Vector serving composed with online-store TTL expiry (VERDICT r04
+    next #7): retrieve_online_documents(store_path=, features=, ttl=,
+    now=) ranks top-k by cosine from the persisted index, then enriches
+    from the materialized store under read_online's TTL semantics — an
+    entity whose store row expired still RANKS (its vector is in the
+    index) but serves NULL features, never stale values. Even vec_ids
+    are fresh (2024-01-10), odd ones stale (2024-01-01); ttl=5d at
+    now=2024-01-12 expires exactly the odd ones. Exhaustive-probe audit
+    mode makes the ranking brute-force-exact, so the DuckDB oracle
+    checks ranking AND expiry bit-for-bit."""
+    import tempfile
+    from datetime import timedelta
+
+    from feast_spark.materialize import MaterializeJob
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label",
+        F.when(F.col("vec_id") % 2 == 0, F.lit("2024-01-10"))
+        .otherwise(F.lit("2024-01-01"))
+        .cast("timestamp")
+        .alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="fs_vttl_")
+    fs = FeatureStore(spark, root=base)
+    view = FeatureView(
+        name="vecs_ttl", entity=Entity("vec", "vec_id"), source=lambda s: e,
+        features=[
+            FeatureSpec("embedding", "array<float>",
+                        vector_index=True, vector_dim=64),
+            FeatureSpec("label", "int"),
+        ],
+        timestamp_field="ts",
+    )
+    fs.apply(view)
+    store = os.path.join(base, "store")
+    MaterializeJob(spark, view, store, n_buckets=8, bucket_batch=8).run(
+        "2023-01-01", "2025-01-01"
+    )
+    fs.build_vector_index("vecs_ttl", n_bits=4, n_tables=4, n_buckets=32)
+    qvec = [r["embedding"] for r in e.filter(F.col("vec_id") == 0).collect()][0]
+    out = fs.retrieve_online_documents(
+        "vecs_ttl", qvec, top_k=8, probe_all=True,
+        store_path=store, features=["label"],
+        ttl=timedelta(days=5), now="2024-01-12",
+    )
+    return out.select(
+        "vec_id", F.round("distance", 4).alias("distance"), "label"
     )
 
 
 def q_ann_index_topk(spark, sf_dir):
-    """Persisted-ANN serving (rows-only: hyperplane LSH has no portable
-    SQL twin): build the LSH signature index as a layout table, then
-    serve top-k from it — pinned equal to on-the-fly lsh_topk by
-    tests/test_dedupe.py (operators/similarity.py build_ann_index /
-    ann_index_topk, VERDICT r03 next #7)."""
+    """Persisted-ANN serving, exhaustive-probe config (VERDICT r04 next
+    #2): build the LSH signature index as a layout table, then serve
+    top-k probing EVERY signature key — candidates cover the whole
+    index, so results equal exact brute-force top-k and the DuckDB
+    oracle hash-checks the persisted build/prune/join/rank plumbing
+    independent of hyperplane recall (the ivf_topk construction).
+    Approximate-probe recall stays pinned by tests/test_dedupe.py
+    (persisted == on-the-fly lsh_topk). operators/similarity.py
+    build_ann_index / ann_index_topk."""
     import tempfile
 
     from feast_spark.operators.similarity import ann_index_topk, build_ann_index
@@ -973,7 +1031,7 @@ def q_ann_index_topk(spark, sf_dir):
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_index_topk(qs, root, k=5).select(
+    return ann_index_topk(qs, root, k=5, probe_all=True).select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -1000,9 +1058,13 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_ivf_index_topk(spark, sf_dir):
-    """Persisted-IVF serving (rows-only: pruned-probe candidate sets
-    have no portable SQL twin): build the cell-keyed layout index, then
-    serve top-k from it — pinned identical to on-the-fly ivf_topk by
+    """Persisted-IVF serving, exhaustive-probe config (VERDICT r04 next
+    #2): build the cell-keyed layout index, then serve top-k probing
+    nprobe=nlist cells — every corpus row is a candidate, so results
+    equal exact brute-force top-k and the DuckDB oracle hash-checks the
+    persisted train/assign/prune/join/rank plumbing independent of
+    recall (same construction as ivf_topk). Pruned-probe recall and
+    persisted==on-the-fly identity stay pinned by
     tests/test_similarity_ivf.py (operators/similarity.py
     build_ivf_index / ivf_index_topk)."""
     import tempfile
@@ -1015,7 +1077,7 @@ def q_ivf_index_topk(spark, sf_dir):
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_index_topk(qs, root, k=5, nprobe=4).select(
+    return ivf_index_topk(qs, root, k=5, nprobe=8).select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
     )
 
@@ -1397,6 +1459,51 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, id_col="doc_id", size_col="n_tok", budget=4096, n_shards=8
     )
+
+
+def q_pack_invariants(spark, sf_dir):
+    """Sequence-packing invariant check with a full SQL oracle (VERDICT
+    r04 next #5): the greedy assignment itself is order-dependent, but
+    its CONTRACT is SQL-expressible — every doc lands in exactly one
+    pack, no non-oversize pack exceeds the token budget, every
+    oversize pack is a singleton, and the packed token total equals the
+    corpus token total. DuckDB recomputes the expected one-row summary
+    from the input alone; any packing regression (dropped doc,
+    duplicated doc, budget overflow, mis-flagged oversize) flips a
+    counter and hash-mismatches."""
+    from feast_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        docs, id_col="doc_id", size_col="n_tok", budget=4096, n_shards=8
+    )
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tok").alias("tok_sum"),
+        F.count(F.lit(1)).alias("n_in_pack"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    per_doc = packed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occ"))
+    docs_side = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_docs"),
+    )
+    packs_side = per_pack.agg(
+        F.sum(
+            ((F.col("tok_sum") > 4096) & (F.col("has_oversize") == 0))
+            .cast("long")
+        ).alias("n_over_budget"),
+        F.sum(
+            ((F.col("has_oversize") == 1) & (F.col("n_in_pack") > 1))
+            .cast("long")
+        ).alias("n_oversize_multi"),
+        F.sum("tok_sum").cast("long").alias("total_tokens"),
+    )
+    return docs_side.crossJoin(packs_side)
 
 
 def q_dedup_spans(spark, sf_dir):
@@ -1869,11 +1976,14 @@ def q_online_store_lookup(spark, sf_dir):
 
 def q_materialize_delta(spark, sf_dir):
     """Snapshot-delta materialization (materialize.py materialize_delta):
-    commit the pre-March events to a layout, full-materialize (pins the
-    baseline snapshot in lineage), append the rest, then merge ONLY the
-    delta files' latest rows into the serving buckets — the served
-    store must equal latest-per-key over ALL events (the one-shot
-    oracle)."""
+    commit the first half of January to a layout, full-materialize
+    (pins the baseline snapshot in lineage), append the back half, then
+    merge ONLY the delta files' latest rows into the serving buckets —
+    the served store must equal latest-per-key over ALL events (the
+    one-shot oracle).  VERDICT r04 next #1: the cut sits INSIDE the
+    events span (testdata events cover 2024-01-01..2024-01-30) so the
+    delta leg merges real rows — a regression that dropped the whole
+    delta merge would hash-mismatch here."""
     import tempfile
 
     from feast_spark.materialize import (
@@ -1887,7 +1997,7 @@ def q_materialize_delta(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    cut = F.lit("2024-03-01").cast("timestamp")
+    cut = F.lit("2024-01-15").cast("timestamp")
     layout.write_table(
         ev.filter(F.col("ts") < cut), root,
         key_col="user_id", ts_col="ts", n_buckets=4,
@@ -1906,6 +2016,109 @@ def q_materialize_delta(spark, sf_dir):
     materialize_delta(spark, view, dest)
     return read_online(spark, dest).select(
         "user_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+def q_daily_append_e2e(spark, sf_dir):
+    """The flagship daily-append composition, end to end (VERDICT r04
+    next #3): day 1's corpus is committed to a layout table,
+    full-materialized (baseline snapshot pinned), MinHash-band-indexed,
+    and clustered; day 2's batch (tail-mutated near-dup clones) is
+    APPENDED — then only delta work runs: materialize_delta merges just
+    the appended files into the serving store,
+    minhash_incremental_pairs hashes only the batch against the
+    persisted index, and connected_components_incremental contracts the
+    new pairs onto yesterday's labels. The oracle checks BOTH legs:
+    served n_chars per doc is recomputed by DuckDB over the two-day
+    corpus (the materialization leg), and comp_match pins the
+    incremental clustering equal to a full recompute over old∪new pairs
+    (the equality-with-full-recompute contract — a regression in either
+    incremental path hash-mismatches here)."""
+    import tempfile
+
+    from feast_spark.materialize import (
+        MaterializeJob, materialize_delta, read_online,
+    )
+    from feast_spark.operators.dedupe import (
+        build_minhash_index,
+        connected_components,
+        connected_components_incremental,
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+    from feast_spark.registry import Entity, FeatureSpec, FeatureView
+    from feast_spark.sources import pages as layout
+
+    docs = _t(spark, sf_dir, "documents")
+    day1 = docs.filter(F.col("doc_id") < 150).select("doc_id", "text")
+    day2 = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, size(split(text, ' ')) - 1))"
+        ).alias("text"),
+    )
+
+    base = tempfile.mkdtemp(prefix="fs_e2e_")
+    root, dest = os.path.join(base, "t"), os.path.join(base, "store")
+    idx = os.path.join(base, "mh_idx")
+
+    def featurize(df, day):
+        return df.select(
+            "doc_id",
+            F.lit(day).cast("timestamp").alias("ts"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    # -- day 1: commit, full-materialize, index, cluster
+    layout.write_table(
+        featurize(day1, "2024-01-01"), root,
+        key_col="doc_id", ts_col="ts", n_buckets=4,
+    )
+    view = FeatureView(
+        name="docs_e2e", entity=Entity("doc", "doc_id"), source=root,
+        features=[FeatureSpec("n_chars", "bigint")], timestamp_field="ts",
+    )
+    MaterializeJob(spark, view, dest, n_buckets=8, bucket_batch=8).run(
+        "2023-01-01", "2025-01-01"
+    )
+    build_minhash_index(day1, idx, num_hashes=32, bands=8, shingle_k=3)
+    pairs_old = minhash_near_dup_pairs(day1, threshold=0.7, shingle_k=3)
+    comp_prev = connected_components(pairs_old)
+
+    # -- day 2 arrives: append, then DELTA-ONLY work
+    layout.write_table(
+        featurize(day2, "2024-01-02"), root,
+        key_col="doc_id", ts_col="ts", n_buckets=4, mode="append",
+    )
+    materialize_delta(spark, view, dest)
+    pairs_new = minhash_incremental_pairs(
+        day2, idx, threshold=0.7, verify="exact", old_docs=day1
+    )
+    comp_incr = connected_components_incremental(comp_prev, pairs_new)
+
+    # -- full-recompute twin (what a from-scratch run would produce)
+    pairs_full = minhash_near_dup_pairs(
+        day1.unionByName(day2), threshold=0.7, shingle_k=3
+    )
+    comp_full = connected_components(pairs_full)
+
+    label_i = comp_incr.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("c_incr")
+    )
+    label_f = comp_full.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("c_full")
+    )
+    served = read_online(spark, dest).select("doc_id", "n_chars")
+    out = (
+        served.join(label_i, "doc_id", "left")
+        .join(label_f, "doc_id", "left")
+        .withColumn("c_incr", F.coalesce("c_incr", F.col("doc_id")))
+        .withColumn("c_full", F.coalesce("c_full", F.col("doc_id")))
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        (F.col("c_incr") == F.col("c_full")).cast("int").alias("comp_match"),
     )
 
 
@@ -2778,15 +2991,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate samples the FIRST ~50
-    # entries (exactly 50 in r01-r03). Round-4 rotation (VERDICT r03 next
-    # #1): the 21 queries never driver-signed in any round lead the
-    # prefix (streaming runs, UDF surface V3-V5, ANN/clusters,
-    # multimodal, sketches, packing), followed by queries whose
-    # implementation changed this round, then r02-signed refreshes to
-    # fill 50. Everything below the fold was driver-signed green in
-    # r02/r03 and stays oracle-verified by tests/test_driver_harness.py.
+    # entries (exactly 50 in r01-r04). Round-5 rotation (VERDICT r04
+    # next #1/#4): the head re-signs materialize_delta (now non-vacuous)
+    # and carries everything NEW or CHANGED this round (the graduated
+    # exhaustive-probe ANN oracles, the daily-append e2e composition,
+    # packing invariants, vector-TTL enrichment, the lang_id CJK gate),
+    # then the three rows-only entries the r04 sample skipped, then
+    # r04-signed refreshes to fill 50. Everything below the fold was
+    # driver-signed green in r02-r04 and stays oracle-verified by
+    # tests/test_driver_harness.py.
     return {
-        # -- never driver-signed (r01-r03): streaming T2-T5
+        # -- re-sign: r04's one red row, cut now INSIDE the events span
+        "materialize_delta": q_materialize_delta,
+        # -- NEW in round 5: the flagship daily-append composition
+        "daily_append_e2e": q_daily_append_e2e,
+        # -- CHANGED in round 5: exhaustive-probe == brute-force oracles
+        # (graduated from rows-only, VERDICT r04 next #2)
+        "ann_index_topk": q_ann_index_topk,
+        "ivf_index_topk": q_ivf_index_topk,
+        "vector_retrieval": q_vector_retrieval,
+        # -- NEW in round 5: serving TTL composition + packing contract
+        "vector_ttl_enrich": q_vector_ttl_enrich,
+        "pack_invariants": q_pack_invariants,
+        # -- rows-only rotation: not sampled in the r04 window
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_buckets": q_simhash_buckets,
+        "approx_distinct": q_approx_distinct,
+        # -- impl changed in round 5 (lang_id CJK script gate; the
+        # delta-scan / coverage-induction hardening under these two)
+        "lang_id": q_lang_id,
+        "layout_incremental": q_layout_incremental,
+        # -- r04-signed refreshes (fill to 50): streaming T2-T5
         "stream_tumbling_day": q_stream_tumbling_day,
         "stream_sessions": q_stream_sessions,
         "stream_online_upsert": q_stream_online_upsert,
@@ -2794,29 +3029,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedupe": q_stream_dedupe,
         "stream_changed_rows": q_stream_changed_rows,
         "stream_stream_join": q_stream_stream_join,
-        # -- NEW in round 4: stream-batch PIT enrichment (next #4)
         "stream_pit_enrich": q_stream_pit_enrich,
-        # -- NEW in round 4: streaming aggregated materialization
         "stream_agg_features": q_stream_agg_features,
-        # -- never driver-signed: vectorized UDF surface V3-V5
+        # vectorized UDF surface V3-V5
         "znorm_per_user": q_znorm_per_user,
         "grouped_quantile_udf": q_grouped_quantile_udf,
         "arrow_byte_stats": q_arrow_byte_stats,
-        # -- never driver-signed: multimodal V6
+        # multimodal V6
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
-        # -- never driver-signed: ANN / clustering / sketches / packing
+        # ANN / clustering / sketches / packing
         "lsh_ann_topk": q_lsh_ann_topk,
-        # NEW in round 4: served from the persisted LSH index (next #7)
-        "ann_index_topk": q_ann_index_topk,
-        # NEW in round 4: retrieve_online_documents serving surface
-        "vector_retrieval": q_vector_retrieval,
-        # NEW in round 4: IVF coarse-quantizer ANN (oracle-checked via
-        # the exhaustive-probe == brute-force identity) + persisted twin
         "ivf_topk": q_ivf_topk,
-        "ivf_index_topk": q_ivf_index_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_clusters_star": q_near_dup_clusters_star,
@@ -2826,52 +3052,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_daily_rollup": q_hll_daily_rollup,
         "pack_sequences": q_pack_sequences,
         "simhash_pairs": q_simhash_pairs,
-        # -- never driver-signed: WAP publish flow + the 22-language
-        # lang_id rework (the r03 signature predates the new model)
+        # WAP publish + curation family
         "layout_wap_publish": q_layout_wap_publish,
-        "lang_id": q_lang_id,
-        # -- NEW in round 4: RefinedWeb per-domain quota + blocklist
         "domain_quota": q_domain_quota,
         "blocklist_filter": q_blocklist_filter,
         "normalize_text": q_normalize_text,
         "weighted_mix": q_weighted_mix,
-        # -- NEW in round 4: hashed-BoW quality classifier + Bloom sketch
         "quality_classifier": q_quality_classifier,
         "bloom_sketch": q_bloom_sketch,
-        # -- NEW in round 4: ExactSubstr duplicate-substring spans
         "dup_substring_spans": q_dup_substring_spans,
-        # -- NEW in round 4: DSIR importance resampling
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
-        # -- NEW in round 4: trained BPE (histogram oracle-checked;
-        # encode rows-only, reference-pinned in tests/test_bpe.py)
+        "warc_ingest": q_warc_ingest,
+        # ---- fold: entries below were driver-signed green in r02-r04
+        # ---- and stay covered by the harness replica pytest
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode_trained": q_bpe_encode_trained,
-        # -- NEW in round 4: WARC/WET ingestion round-trip + streaming
-        # directory ingestion (exactly-once segment appends)
-        "warc_ingest": q_warc_ingest,
         "warc_stream_ingest": q_warc_stream_ingest,
-        # -- NEW in round 4: declared Aggregation specs (upstream
-        # feast/aggregation.py) through PIT retrieval
         "agg_feature_view": q_agg_feature_view,
-        # -- NEW in round 4: PSI distribution-drift gate
         "psi_drift": q_psi_drift,
-        # -- NEW in round 4: Iceberg named refs (tags pin snapshots)
         "layout_tag_read": q_layout_tag_read,
-        # -- NEW in round 4: incremental append scan (snapshot delta)
-        # + snapshot-delta materialization built on it
-        "layout_incremental": q_layout_incremental,
-        "materialize_delta": q_materialize_delta,
-        # -- implementation changed in round 4 (signed r03; values
-        # unchanged by the refactors, kept post-prefix)
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "push_online": q_push_online,
         "odfv_transform": q_odfv_transform,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_buckets": q_simhash_buckets,
         "cosine_topk": q_cosine_topk,
-        # -- r02-signed refreshes (fill to 50)
         "running_sum": q_running_sum,
         "topk_per_group": q_topk_per_group,
         "grouping_sets": q_grouping_sets,
@@ -2891,8 +3096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_quartiles": q_ntile_quartiles,
         "collect_last_k": q_collect_last_k,
         "map_json_ops": q_map_json_ops,
-        # ---- fold: entries below were driver-signed green in r02/r03
-        # ---- and stay covered by the harness replica pytest
         # PIT family (north rule core)
         "pit_asof_union": q_pit_asof_union,
         "pit_asof_broadcast": q_pit_asof_broadcast,
@@ -2954,7 +3157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_volume": q_supplier_part_volume,
         "pit_created_tiebreak_broadcast": q_pit_created_tiebreak_broadcast,
         "pit_created_tiebreak_cogroup": q_pit_created_tiebreak_cogroup,
-        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -2964,6 +3166,11 @@ def oracle_sql() -> dict[str, str]:
     # strategy variants share one oracle (semantics must be identical)
     out["pit_created_tiebreak_broadcast"] = out["pit_created_tiebreak"]
     out["pit_created_tiebreak_cogroup"] = out["pit_created_tiebreak"]
+    # exhaustive-probe persisted-index serving == brute-force top-k
+    # (VERDICT r04 next #2: the ivf_topk identity construction applied
+    # to the persisted LSH and IVF serving paths)
+    out["ann_index_topk"] = out["ivf_topk"]
+    out["ivf_index_topk"] = out["ivf_topk"]
     # both CC algorithms must produce identical clusters
     out["near_dup_clusters_star"] = out["near_dup_clusters"]
     out["near_dup_clusters_incr"] = out["near_dup_clusters"]
@@ -3730,6 +3937,82 @@ def _oracles() -> dict[str, str]:
             FROM scored
             QUALIFY row_number()
               OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 5
+        """,
+        "vector_retrieval": """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT e.vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS cos
+              FROM embeddings e, q
+            )
+            SELECT vec_id, round(cos, 4) AS distance
+            FROM scored
+            QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 5
+        """,
+        "vector_ttl_enrich": """
+            WITH q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+              SELECT e.vec_id, e.label,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(q.qv,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                     AS cos
+              FROM embeddings e, q
+            ),
+            top AS (
+              SELECT vec_id, label, round(cos, 4) AS distance
+              FROM scored
+              QUALIFY row_number() OVER (ORDER BY cos DESC, vec_id ASC) <= 8
+            )
+            SELECT vec_id, distance,
+                   CASE WHEN vec_id % 2 = 0 THEN label END AS label
+            FROM top
+        """,
+        "daily_append_e2e": """
+            WITH day1 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 150
+            ),
+            day2 AS (
+              SELECT doc_id + 1000000 AS doc_id,
+                     array_to_string(
+                       (str_split(text, ' '))[1:len(str_split(text, ' ')) - 1],
+                       ' ') AS text
+              FROM documents WHERE doc_id < 100
+            ),
+            allr AS (
+              SELECT * FROM day1 UNION ALL SELECT * FROM day2
+            )
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                   1 AS comp_match
+            FROM allr
+        """,
+        "pack_invariants": r"""
+            WITH t AS (
+              SELECT len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_tok
+              FROM documents
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(0 AS BIGINT) AS n_dup_docs,
+                   CAST(0 AS BIGINT) AS n_over_budget,
+                   CAST(0 AS BIGINT) AS n_oversize_multi,
+                   CAST(sum(n_tok) AS BIGINT) AS total_tokens
+            FROM t
         """,
         "dedup_exact": """
             WITH dup AS (

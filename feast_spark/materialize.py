@@ -178,6 +178,11 @@ class MaterializeJob:
                 r for r in layout.list_lineage(self.dest)
                 if r.get("complete") and r.get("input_snapshot") is not None
                 and r["input_snapshot"] < snap_id
+                # mirror materialize_delta's guard: a "buckets" key marks a
+                # legacy PER-BATCH record, whose complete flag could
+                # survive a crashed multi-batch run — only run-level/delta
+                # markers may seed the induction (ADVICE r04)
+                and "buckets" not in r
             ),
             key=lambda r: -r["input_snapshot"],
         )
@@ -580,11 +585,24 @@ def materialize_delta(
             "completeness tracking) — run a MaterializeJob whose range "
             "covers the table's full event-time span first"
         )
+    # a ref-pinned view delta-materializes only up to its pin — the same
+    # reproducible-release contract MaterializeJob._scan and retrieval
+    # honor; an explicit to_snapshot past the pin is a caller error, not
+    # a silent unpin (ADVICE r04)
+    ref = getattr(view, "ref", None)
+    pin = layout.resolve_tag(root, ref) if ref else None
     head = (
         to_snapshot
         if to_snapshot is not None
-        else layout.current_snapshot(root)["snapshot_id"]
+        else (pin if pin is not None
+              else layout.current_snapshot(root)["snapshot_id"])
     )
+    if pin is not None and head > pin:
+        raise ValueError(
+            f"view is pinned to ref {ref!r} (snapshot {pin}) but "
+            f"to_snapshot={head} exceeds it — unpin the view or lower "
+            "to_snapshot"
+        )
     if head <= last:
         return {"rows_pushed": 0, "buckets_touched": [],
                 "from_snapshot": last, "to_snapshot": head,

@@ -861,6 +861,9 @@ class FeatureStore:
         index_root: str | None = None,
         store_path: str | None = None,
         features: list[str] | None = None,
+        probe_all: bool = False,
+        ttl: timedelta | None = None,
+        now=None,
     ) -> DataFrame:
         """Top-k entities by cosine similarity to ``query`` (upstream
         ``FeatureStore.retrieve_online_documents``). Serves from the
@@ -870,7 +873,13 @@ class FeatureStore:
         the index and never scans the corpus. Returns (join_key,
         distance) rows, optionally enriched with ``features`` from the
         view's materialized online store at ``store_path`` (the served
-        values, TTL semantics and all)."""
+        values, TTL semantics and all). ``probe_all=True`` is the
+        exhaustive-probe audit mode (see ``ann_index_topk``): results
+        equal exact brute-force top-k, at O(index) cost per query.
+        ``ttl`` + ``now`` apply read-side expiry to the ENRICHMENT only
+        (read_online semantics): an entity whose store row has expired
+        still ranks by vector similarity but serves NULL features —
+        stale values are never returned (VERDICT r04 next #7)."""
         from feast_spark.operators.similarity import ann_index_topk
 
         fv = self.get_view(view_name)
@@ -881,7 +890,7 @@ class FeatureStore:
             "query_id bigint, embedding array<double>",
         )
         res = (
-            ann_index_topk(q, root, k=top_k)
+            ann_index_topk(q, root, k=top_k, probe_all=probe_all)
             .drop("query_id")
             .withColumnRenamed("cosine", "distance")
         )
@@ -891,7 +900,9 @@ class FeatureStore:
             if not store_path:
                 raise ValueError("features= enrichment needs store_path=")
             keys = [r[key] for r in res.select(key).collect()]
-            served = self.get_online_features(store_path, keys, key_col=key)
+            served = self.get_online_features(
+                store_path, keys, key_col=key, ttl=ttl, now=now
+            )
             cols = [key] + (features or [c for c in served.columns if c != key])
             res = res.join(served.select(*cols), key, "left")
         return res.orderBy(F.col("distance").desc(), F.col(key).asc())
