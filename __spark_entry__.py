@@ -3200,11 +3200,17 @@ def oracle_sql() -> dict[str, str]:
 
 def _lang_id_oracle() -> str:
     """DuckDB twin of operators.text.lang_id, GENERATED from the same
-    lang_table() — one source of truth, no drift between the 22-language
-    weighted marker table and its oracle. Weights are dyadic rationals
+    lang_table() AND the same CJK script-range constants — one source of
+    truth, no drift between the 22-language weighted marker table (+ the
+    zh/ja/ko script gate) and its oracle. Weights are dyadic rationals
     (2^-k), so both engines' per-language token-order float folds are
-    exact and the argmax tie-compare is bit-identical."""
-    from feast_spark.operators.text import lang_table
+    exact and the argmax tie-compare is bit-identical; the script gate
+    is integer arithmetic over BMP codepoint counts, which Spark's and
+    DuckDB's length()/regexp_replace() agree on exactly."""
+    from feast_spark.operators.text import (
+        CJK_GATE_DENOM, CJK_HAN, CJK_HANGUL, CJK_KANA, CJK_KANA_DENOM,
+        lang_table,
+    )
 
     langs, vocab, weights = lang_table()
     scores = []
@@ -3228,12 +3234,35 @@ def _lang_id_oracle() -> str:
         ),
         s AS (
           SELECT doc_id, list_value({", ".join(scores)}) AS sc FROM toks
+        ),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN list_max(sc) > 0
+                      THEN ({lang_list})[list_position(sc, list_max(sc))]
+                      ELSE 'zz' END AS marker
+          FROM s
+        ),
+        cj AS (
+          SELECT doc_id,
+                 length(regexp_replace(text, '[^{CJK_HAN[1]}]', '', 'g'))
+                   AS han,
+                 length(regexp_replace(text, '[^{CJK_KANA[1]}]', '', 'g'))
+                   AS kana,
+                 length(regexp_replace(text,
+                   '[^{CJK_HANGUL[1]}]', '', 'g')) AS hangul,
+                 greatest(length(text), 1) AS total
+          FROM documents
         )
-        SELECT doc_id,
-               CASE WHEN list_max(sc) > 0
-                    THEN ({lang_list})[list_position(sc, list_max(sc))]
-                    ELSE 'zz' END AS lang_pred
-        FROM s
+        SELECT m.doc_id,
+               CASE WHEN (cj.han + cj.kana + cj.hangul) * {CJK_GATE_DENOM}
+                         >= cj.total
+                    THEN CASE WHEN cj.kana * {CJK_KANA_DENOM}
+                                   >= cj.han + cj.kana + cj.hangul
+                              THEN 'ja'
+                              WHEN cj.hangul >= cj.han THEN 'ko'
+                              ELSE 'zh' END
+                    ELSE m.marker END AS lang_pred
+        FROM m JOIN cj USING (doc_id)
     """
 
 

@@ -306,6 +306,46 @@ def test_lang_id_recall_multilingual(spark):
     assert not wrong, wrong
 
 
+def test_lang_id_cjk_script_gate(spark):
+    """VERDICT r04 next #8: zh/ja/ko have no word spaces, so the marker
+    model can never fire — docs that are substantially CJK classify by
+    script counts (segmentation-free). Pins: recall on native zh/ja/ko
+    prose; a Latin doc QUOTING a little CJK keeps its marker prediction;
+    the documented all-kanji→zh boundary; gate arithmetic is exact."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.text import (
+        CJK_GATE_DENOM, CJK_KANA_DENOM, lang_id,
+    )
+
+    fixtures = [
+        # unsegmented native prose (Han-only vs kana-mixed vs hangul)
+        Row(lang="zh", text="这是一份关于数据处理系统的技术报告，包含性能测试结果。"),
+        Row(lang="ja", text="これはデータ処理システムに関する技術報告書です。性能試験の結果を含みます。"),
+        Row(lang="ko", text="이것은 데이터 처리 시스템에 관한 기술 보고서입니다. 성능 시험 결과를 포함합니다."),
+        # katakana-heavy ja (loanword prose) still gates to ja
+        Row(lang="ja", text="コンピュータシステムのパフォーマンステストレポート"),
+        # an English page quoting a LITTLE Chinese stays marker-predicted
+        Row(
+            lang="en",
+            text="the report was written for the team and that is why "
+                 'the title says "数据报告" in the original language',
+        ),
+        # all-kanji fragment (no kana): documented boundary → zh
+        Row(lang="zh", text="東京大学工学部計算機科学科研究報告書第三号"),
+    ]
+    got = [
+        (r["lang"], r["pred"])
+        for r in spark.createDataFrame(fixtures)
+        .select("lang", lang_id("text").alias("pred"))
+        .collect()
+    ]
+    wrong = [(l, p) for l, p in got if l != p]
+    assert not wrong, wrong
+    # the gate constants are the documented contract
+    assert CJK_GATE_DENOM == 3 and CJK_KANA_DENOM == 10
+
+
 def test_perplexity_lm_semantics(spark):
     """CCNet-style char-LM scoring (operators/text.py char_ngram_lm /
     perplexity_score / perplexity_buckets): in-domain text scores lower
