@@ -299,11 +299,22 @@ def stream_warc_dir(
                 )
         # tables ingested by the pre-summary code carry only the legacy
         # batch-id ledger (no file lists anywhere, so their segments can
-        # never enter `done`). Honor it for PURE replays — same batch id
-        # AND same file count — and REFUSE on mismatch: the ledger can't
-        # say which of the presented files were ingested, so both
-        # skipping (drops new segments) and diffing (double-ingests
-        # legacy segments) silently corrupt (r04 review batches 3+4).
+        # never enter `done`). Honor it for PURE replays and REFUSE
+        # otherwise: the ledger can't say which of the presented files
+        # were ingested, so both skipping (drops new segments) and
+        # diffing (double-ingests legacy segments) silently corrupt
+        # (r04 review batches 3+4). Replay plausibility (ADVICE r04 —
+        # count equality alone is spoofable by a reset checkpoint whose
+        # restarted batch presents the SAME NUMBER of different,
+        # never-ingested segments):
+        #   1. records that carry a file list compare the presented
+        #      path set exactly;
+        #   2. count-only records additionally require every presented
+        #      segment to predate the ledger record itself (mtime): a
+        #      genuinely replayed segment existed before the ledger
+        #      entry recording its ingestion was written, while the
+        #      spoof's never-ingested segments were dropped into the
+        #      directory after the legacy era ended.
         legacy = os.path.join(
             dest_root, "_stream_ingest", f"batch-{batch_id}.json"
         )
@@ -313,7 +324,27 @@ def stream_warc_dir(
             with open(legacy) as f:
                 rec = _json.load(f)
             presented_new = [p for p in paths if p not in done]
-            if rec.get("n_files") == len(presented_new):
+            rec_paths = rec.get("paths")
+            if rec_paths is not None:
+                plausible = set(rec_paths) == set(presented_new)
+                why = "file list differs from the presented set"
+            else:
+                ledger_mt = os.path.getmtime(legacy)
+                late = [
+                    p for p in presented_new
+                    if os.path.exists(p) and os.path.getmtime(p) > ledger_mt
+                ]
+                plausible = (
+                    rec.get("n_files") == len(presented_new) and not late
+                )
+                why = (
+                    f"count mismatch (ledger {rec.get('n_files')}, "
+                    f"presented {len(presented_new)})"
+                    if rec.get("n_files") != len(presented_new)
+                    else f"{len(late)} presented segment(s) are newer "
+                    "than the ledger entry itself"
+                )
+            if plausible:
                 _LOG.warning(
                     "stream_warc_dir: batch %d skipped via the legacy "
                     "ledger %s; re-ingest into a fresh table to gain "
@@ -323,11 +354,12 @@ def stream_warc_dir(
                 return
             raise RuntimeError(
                 f"batch {batch_id} presents {len(presented_new)} "
-                f"unaccounted segments but the legacy ledger {legacy} "
-                f"recorded {rec.get('n_files')} — a reset checkpoint "
-                "over a legacy-ingested table cannot be safely diffed "
-                "(the old ledger has no file lists); re-ingest into a "
-                "fresh table or restore the original checkpoint"
+                f"unaccounted segments that do not look like a replay "
+                f"of legacy ledger {legacy} ({why}) — a reset "
+                "checkpoint over a legacy-ingested table cannot be "
+                "safely diffed (the old ledger has no trustworthy file "
+                "lists); re-ingest into a fresh table or restore the "
+                "original checkpoint"
             )
         new = [p for p in paths if p not in done]
         if not new:

@@ -332,7 +332,13 @@ def stream_enrich_pit(
     holds under the SAME checkpoint (replays reuse batch ids); a RESET
     checkpoint re-batches from 0 and must write to a fresh ``dest`` —
     the same contract as Spark's own file sink and its _spark_metadata
-    log. Probes watermark on ``ts_col``
+    log. Downstream readers see ``__batch`` as a partition column in
+    the output schema. A ``dest`` written by the pre-``__batch`` code
+    (flat parquet files at the root, no partition dirs) is refused up
+    front (ADVICE r04): resuming onto it would mix flat files with
+    ``__batch=`` directories, breaking partition discovery and
+    silently changing the output schema — point the resumed stream at
+    a fresh ``dest``. Probes watermark on ``ts_col``
     and, when ``dedupe_keys`` is given, duplicate probes within the
     watermark are dropped BEFORE enrichment — the only stateful piece,
     and its state is watermark-bounded (T1).
@@ -343,7 +349,25 @@ def stream_enrich_pit(
     estimator decide (an in-memory micro-batch is unestimable, so auto
     routes to the unbounded-safe strategy). Returns the started
     StreamingQuery (caller awaits)."""
+    import os
+
     from feast_spark.plans.retrieval import plan_retrieval
+
+    # refuse a legacy unpartitioned dest before starting the stream
+    # (ADVICE r04): mixing flat root files with __batch= partition dirs
+    # breaks partition discovery for every downstream reader.
+    if os.path.isdir(dest):
+        entries = os.listdir(dest)
+        flat = [e for e in entries if e.endswith(".parquet")]
+        partitioned = any(e.startswith("__batch=") for e in entries)
+        if flat and not partitioned:
+            raise ValueError(
+                f"dest {dest!r} holds unpartitioned parquet written by "
+                "a pre-__batch version of stream_enrich_pit; resuming "
+                "onto it would mix flat files with __batch= partition "
+                "directories and break partition discovery — use a "
+                "fresh dest (the reset-checkpoint contract)"
+            )
 
     s = with_watermark(probe_stream, ts_col, watermark)
     if dedupe_keys:

@@ -74,6 +74,100 @@ class TestRegistryImportBypass:
 
         assert _serialize_transform(bad) is None
 
+    def test_getattr_string_indirect_rejected(self):
+        # VERDICT r04 next #9: getattr(df, "__class__") spells the dunder
+        # as a STRING, so the ast.Attribute walk never sees it — the
+        # banned-builtins layer (getattr is not an allowed global) must
+        # catch it instead
+        with pytest.raises(ValueError, match="disallowed globals"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    c = getattr(df, '__cla' + 'ss__')\n"
+                        "    return df\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
+    def test_vars_indirect_rejected(self):
+        # vars(obj) is dict-form attribute access — same string-indirect
+        # family as getattr
+        with pytest.raises(ValueError, match="disallowed globals"):
+            _deserialize_transform(
+                {
+                    "src": "def f(df):\n    return vars(df)\n",
+                    "fn": "f",
+                }
+            )
+
+    def test_lambda_cell_escape_rejected(self):
+        # VERDICT r04 next #9: a lambda nested in the def gets its own
+        # code object — the LOAD_GLOBAL scan must recurse through
+        # co_consts and still see the banned name inside it
+        with pytest.raises(ValueError, match="disallowed globals"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    g = lambda: __import__('os')\n"
+                        "    return g()\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
+    def test_comprehension_cell_escape_rejected(self):
+        # comprehensions may compile to nested code objects (pre-3.12);
+        # a banned global reached only inside one must still be refused
+        with pytest.raises(ValueError, match="disallowed globals"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    return [getattr(x, 'mro') for x in (df,)]\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
+    def test_default_arg_escape_rejected(self):
+        # default args evaluate at module-exec time, OUTSIDE the function
+        # body's code object — the compile()d MODULE code must be the
+        # scan target, not just the def's
+        with pytest.raises(ValueError, match="disallowed globals"):
+            _deserialize_transform(
+                {
+                    "src": "def f(df, g=getattr):\n    return df\n",
+                    "fn": "f",
+                }
+            )
+
+    def test_default_arg_escape_save_symmetric(self):
+        # save-time twin: the live function's __code__ doesn't contain
+        # its default-arg expressions, so serialization must scan the
+        # compiled module code too and refuse (emit None, stay in-memory)
+        def bad(pdf, g=getattr):
+            return pdf
+
+        assert _serialize_transform(bad) is None
+
+    def test_dunder_lambda_attribute_rejected(self):
+        # dunder attribute syntax inside a nested lambda: the AST walk
+        # covers the whole tree, not just top-level statements
+        with pytest.raises(ValueError, match="disallowed constructs"):
+            _deserialize_transform(
+                {
+                    "src": (
+                        "def f(df):\n"
+                        "    g = lambda o: o.__class__\n"
+                        "    return df\n"
+                    ),
+                    "fn": "f",
+                }
+            )
+
     def test_benign_transform_still_roundtrips(self):
         fn = _deserialize_transform(
             {

@@ -412,6 +412,46 @@ def test_stream_enrich_pit_equals_batch_retrieval(
     assert want.exceptAll(got).count() == 0
 
 
+def test_stream_enrich_pit_refuses_legacy_flat_dest(
+    spark, pages_df, tmp_path_factory
+):
+    """ADVICE r04: a dest holding unpartitioned parquet (written by the
+    pre-__batch code) must be refused up front — resuming onto it would
+    mix flat files with __batch= partition dirs and break partition
+    discovery. A dest that already carries __batch= dirs resumes fine
+    (covered by the replay-idempotence test)."""
+    from feast_spark.registry import Entity, FeatureSpec, FeatureStore, FeatureView
+
+    base = tmp_path_factory.mktemp("stream_pit_legacy")
+    store = FeatureStore(spark)
+    store.apply(
+        FeatureView(
+            name="pg",
+            entity=Entity("url", "url"),
+            source=lambda sp_, df=pages_df: df.select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+                F.length("text").cast("long").alias("n_chars"),
+            ).dropDuplicates(["url", "warc_ts"]),
+            features=[FeatureSpec("n_chars", "bigint")],
+            timestamp_field="warc_ts",
+        )
+    )
+    src = str(base / "probes")
+    pages_df.select(
+        "url", F.col("warc_ts").cast("timestamp").alias("ts")
+    ).limit(5).write.parquet(src)
+    # the legacy shape: flat parquet at the dest root, no partition dirs
+    dest = str(base / "out")
+    spark.range(3).write.parquet(dest)
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(src)
+    with pytest.raises(ValueError, match="fresh dest"):
+        sp.stream_enrich_pit(
+            stream, store, ["pg:n_chars"], dest,
+            checkpoint=str(base / "ckpt"),
+        )
+
+
 def test_stream_agg_to_online_matches_batch_with_late_rows(
     spark, tmp_path_factory
 ):

@@ -181,3 +181,76 @@ def test_legacy_ledger_mismatch_raises_not_drops(spark, tmp_path):
     with pytest.raises(StreamingQueryException, match="cannot be safely"):
         run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
     assert layout.read_table(spark, dest).count() == 1  # nothing corrupted
+
+
+def test_legacy_ledger_equal_count_spoof_refuses(spark, tmp_path):
+    """ADVICE r04: count equality alone is NOT a replay — a reset
+    checkpoint presenting the same NUMBER of different, never-ingested
+    segments must refuse (previously it was silently skipped, dropping
+    those segments). The distinguishing signal for count-only legacy
+    records: a real replayed segment predates its ledger entry; the
+    spoof's segments were dropped in after the legacy era."""
+    import json
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    p = seg(indir, "a.warc.gz", [("u1", 1)])
+    df = warc.read_warc(spark, [p])
+    layout.write_table(
+        wet(df), dest, key_col="url", ts_col="warc_date", n_buckets=2,
+    )
+    ldir = tmp_path / "tbl" / "_stream_ingest"
+    ldir.mkdir()
+    (ldir / "batch-0.json").write_text(
+        json.dumps({"batch_id": 0, "snapshot": 1, "n_files": 1})
+    )
+    # the spoof: a.warc.gz vanishes, a DIFFERENT new segment arrives —
+    # a fresh checkpoint's batch 0 presents exactly n_files=1 file
+    import os as _os
+    import time
+
+    _os.remove(p)
+    time.sleep(0.05)  # strictly newer mtime than the ledger entry
+    seg(indir, "b.warc.gz", [("u2", 2)])
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="newer than the ledger"):
+        run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    assert layout.read_table(spark, dest).count() == 1  # u2 NOT dropped silently
+
+
+def test_legacy_ledger_path_list_compares_exactly(spark, tmp_path):
+    """ADVICE r04: legacy records that DO carry a file list are compared
+    by path set, which beats both the count and the mtime heuristics —
+    an exact match skips (even with fresh mtimes), a different set at
+    equal count refuses."""
+    import json
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    p = seg(indir, "a.warc.gz", [("u1", 1)])
+    df = warc.read_warc(spark, [p])
+    layout.write_table(
+        wet(df), dest, key_col="url", ts_col="warc_date", n_buckets=2,
+    )
+    ldir = tmp_path / "tbl" / "_stream_ingest"
+    ldir.mkdir()
+    (ldir / "batch-0.json").write_text(
+        json.dumps({"batch_id": 0, "snapshot": 1, "n_files": 1, "paths": [p]})
+    )
+    head = layout.current_snapshot(dest)["snapshot_id"]
+    # exact path match → pure replay, skipped
+    run_once(spark, str(indir), dest, str(tmp_path / "ckpt"))
+    assert layout.current_snapshot(dest)["snapshot_id"] == head
+    # different set at equal count → refuse, not skip
+    import os as _os
+
+    _os.remove(p)
+    seg(indir, "b.warc.gz", [("u2", 2)])
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="file list differs"):
+        run_once(spark, str(indir), dest, str(tmp_path / "ckpt2"))
+    assert layout.read_table(spark, dest).count() == 1
