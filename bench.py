@@ -74,6 +74,12 @@ HEADLINE = [
     "gopher_quality",
     "stratified_sample",
     "perplexity_buckets",
+    # write-path headliners (VERDICT r04 next #6): WARC serialization
+    # round-trip and snapshot-delta materialization — the two newest
+    # ingest/merge paths get round-over-round medians like the PIT
+    # strategies (each call is self-contained in its own tempdir)
+    "warc_ingest",
+    "materialize_delta",
 ]
 
 # pages-pipeline scale: sized so the materialize leg takes O(10s) at
