@@ -32,3 +32,4 @@ from feast_spark.registry import (  # noqa: F401
     FeatureView,
     OnDemandFeatureView,
 )
+from feast_spark.server import FeatureServer  # noqa: F401
