@@ -452,11 +452,17 @@ def ann_index_topk(
         idx = read_table(spark, root)
     # broadcast the query side only when its cardinality is provably
     # small (zero-job estimate; unestimable → shuffle join, safe at any
-    # batch size — same policy as lsh_topk)
+    # batch size — same policy as lsh_topk). The threshold applies to
+    # the JOIN INPUT q, not the raw query count: probe_all crossJoins
+    # every query with all 2^n_bits × n_tables keys (r05 review — a
+    # 100k-query audit batch at the default 8 bits × 4 tables is ~102M
+    # rows carrying full embeddings, a driver-OOM broadcast under the
+    # raw-count test), explode fans out ×n_tables only.
     from feast_spark.estimate import estimate_rows
 
     n_q = estimate_rows(queries)
-    q_side = F.broadcast(q) if n_q is not None and n_q <= 100_000 else q
+    fan_out = (2 ** n_bits) * n_tables if probe_all else n_tables
+    q_side = F.broadcast(q) if _broadcast_queries_ok(n_q, fan_out, 100_000) else q
     cand = (
         idx.join(q_side, "sig_key")
         .dropDuplicates(["__qid", id_col])
@@ -480,6 +486,20 @@ def ann_index_topk(
 #: running job recomputes evicted blocks from lineage, never fails.
 _CACHE_RETAIN = 4
 _cache_ring: list = []
+
+
+def _broadcast_queries_ok(
+    n_q: int | None, fan_out: int, threshold: int
+) -> bool:
+    """Shared broadcast decision for the index-serving joins: hint a
+    broadcast only when the JOIN INPUT (queries × their key fan-out)
+    is provably under ``threshold`` rows — NOT the raw query count
+    (r05 review: probe_all's 2^n_bits × n_tables crossJoin and
+    nprobe=nlist probing blow a raw-count-broadcastable batch up into
+    a multi-GB frame). Unestimable (None) → shuffle join, safe at any
+    size; Catalyst stays free to broadcast the INDEX side on its own
+    statistics either way."""
+    return n_q is not None and n_q * fan_out <= threshold
 
 
 def _retain_cache(cached: DataFrame) -> None:
@@ -652,9 +672,16 @@ def ivf_topk(
     )
     from feast_spark.estimate import estimate_rows
 
+    # threshold the JOIN INPUT (queries × probed cells), not the raw
+    # query count — at nprobe=nlist (the audit config) the explode
+    # fans each query out to every cell (r05 review)
     n_q = estimate_rows(queries)
     q_side = (
-        F.broadcast(q) if n_q is not None and n_q <= broadcast_threshold else q
+        F.broadcast(q)
+        if _broadcast_queries_ok(
+            n_q, min(nprobe, centroids.shape[0]), broadcast_threshold
+        )
+        else q
     )
     cand = c.join(q_side, "__cell").select(
         F.col("__qid").alias(query_id_col),
@@ -805,9 +832,14 @@ def ivf_index_topk(
         idx = read_table(spark, root)
     from feast_spark.estimate import estimate_rows
 
+    # same join-input threshold as ivf_topk: ×min(nprobe, nlist) fan-out
     n_q = estimate_rows(queries)
     q_side = (
-        F.broadcast(q) if n_q is not None and n_q <= broadcast_threshold else q
+        F.broadcast(q)
+        if _broadcast_queries_ok(
+            n_q, min(nprobe, cent.shape[0]), broadcast_threshold
+        )
+        else q
     )
     cand = idx.join(q_side, "cell").select(
         F.col("__qid").alias(query_id_col),

@@ -135,6 +135,10 @@ class FeatureServer:
         )
         now = body.get("now")
 
+        if not entities or not all(entities.values()):
+            raise ValueError(
+                "entities must map each key column to a non-empty value list"
+            )
         key_cols = list(entities.keys())
         n = len(next(iter(entities.values())))
         if any(len(v) != n for v in entities.values()):
@@ -162,13 +166,34 @@ class FeatureServer:
         from feast_spark.materialize import read_store_meta
 
         meta = read_store_meta(store_path) or {}
-        ts_col = meta.get("ts_col") or next(
-            (c for c in ("warc_ts", "ts") if c in served.columns), None
-        )
+        ts_col = meta.get("ts_col")
+        if ts_col is None:
+            # legacy stores without ts_col in store.json: resolve like
+            # read_online — warc_ts, else the single timestamp-typed
+            # column of the served schema
+            from pyspark.sql import types as T
+
+            ts_like = [
+                f.name
+                for f in served.schema.fields
+                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+            ]
+            if "warc_ts" in ts_like:
+                ts_col = "warc_ts"
+            elif len(ts_like) == 1:
+                ts_col = ts_like[0]
         cutoff = None
         if ttl is not None:
             if now is None:
                 raise ValueError("ttl_seconds needs an explicit `now`")
+            if ts_col is None:
+                # never silently serve stale rows as PRESENT (r05
+                # review) — same refusal read_online makes
+                raise ValueError(
+                    f"cannot infer the event-time column of {store_path} "
+                    "for ttl expiry; re-materialize to record ts_col in "
+                    "store.json"
+                )
             cutoff = datetime.fromisoformat(now) - ttl
 
         names = [f"{view}__{f}" if full else f for f in feats]
@@ -221,6 +246,10 @@ class FeatureServer:
         if view not in self.stores:
             raise ValueError(f"unknown push target {view!r}")
         df_cols: dict[str, list] = body["df"]
+        if not df_cols or not all(df_cols.values()):
+            raise ValueError(
+                "df must map each column to a non-empty value list"
+            )
         pdf_rows = [
             {c: vals[i] for c, vals in df_cols.items()}
             for i in range(len(next(iter(df_cols.values()))))

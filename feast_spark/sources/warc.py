@@ -268,7 +268,7 @@ def stream_warc_dir(
     segment window.
     """
     from feast_spark.sources import pages as layout
-    from feast_spark.sources.pages import is_table, write_table
+    from feast_spark.sources.pages import is_table, read_table, write_table
 
     reader = (
         spark.readStream.format("binaryFile")
@@ -309,12 +309,15 @@ def stream_warc_dir(
         # never-ingested segments):
         #   1. records that carry a file list compare the presented
         #      path set exactly;
-        #   2. count-only records additionally require every presented
-        #      segment to predate the ledger record itself (mtime): a
-        #      genuinely replayed segment existed before the ledger
-        #      entry recording its ingestion was written, while the
-        #      spoof's never-ingested segments were dropped into the
-        #      directory after the legacy era ended.
+        #   2. count-only records get the decisive CONTENT check: parse
+        #      the presented segments (same tasks as ingest would run)
+        #      and anti-join their post-transform (key, ts) pairs
+        #      against the table — a pure replay's rows all already
+        #      exist (skipping loses nothing), while any missing pair
+        #      proves never-ingested data and forces the refuse path.
+        #      Metadata heuristics (mtime) are spoofable by mv/rsync -a
+        #      preserved timestamps; row membership is not. Cost: one
+        #      batch-bounded job, only on this rare legacy path.
         legacy = os.path.join(
             dest_root, "_stream_ingest", f"batch-{batch_id}.json"
         )
@@ -328,21 +331,31 @@ def stream_warc_dir(
             if rec_paths is not None:
                 plausible = set(rec_paths) == set(presented_new)
                 why = "file list differs from the presented set"
-            else:
-                ledger_mt = os.path.getmtime(legacy)
-                late = [
-                    p for p in presented_new
-                    if os.path.exists(p) and os.path.getmtime(p) > ledger_mt
-                ]
-                plausible = (
-                    rec.get("n_files") == len(presented_new) and not late
-                )
+            elif rec.get("n_files") != len(presented_new):
+                plausible = False
                 why = (
                     f"count mismatch (ledger {rec.get('n_files')}, "
                     f"presented {len(presented_new)})"
-                    if rec.get("n_files") != len(presented_new)
-                    else f"{len(late)} presented segment(s) are newer "
-                    "than the ledger entry itself"
+                )
+            else:
+                probe = read_warc(spark, presented_new)
+                if transform is not None:
+                    probe = transform(probe)
+                missing = (
+                    probe.select(key_col, ts_col).distinct()
+                    .join(
+                        read_table(spark, dest_root)
+                        .select(key_col, ts_col).distinct(),
+                        [key_col, ts_col],
+                        "left_anti",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                plausible = missing == 0
+                why = (
+                    "presented segments contain rows absent from the "
+                    "table (not a replay)"
                 )
             if plausible:
                 _LOG.warning(

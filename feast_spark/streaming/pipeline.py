@@ -333,12 +333,11 @@ def stream_enrich_pit(
     checkpoint re-batches from 0 and must write to a fresh ``dest`` —
     the same contract as Spark's own file sink and its _spark_metadata
     log. Downstream readers see ``__batch`` as a partition column in
-    the output schema. A ``dest`` written by the pre-``__batch`` code
-    (flat parquet files at the root, no partition dirs) is refused up
-    front (ADVICE r04): resuming onto it would mix flat files with
-    ``__batch=`` directories, breaking partition discovery and
-    silently changing the output schema — point the resumed stream at
-    a fresh ``dest``. Probes watermark on ``ts_col``
+    the output schema. A ``dest`` holding flat parquet files at its
+    root — written, or once resumed, by the pre-``__batch`` code — is
+    refused up front (ADVICE r04): flat files mixed with ``__batch=``
+    directories break partition discovery and silently change the
+    output schema — point the resumed stream at a fresh ``dest``. Probes watermark on ``ts_col``
     and, when ``dedupe_keys`` is given, duplicate probes within the
     watermark are dropped BEFORE enrichment — the only stateful piece,
     and its state is watermark-bounded (T1).
@@ -359,14 +358,17 @@ def stream_enrich_pit(
     if os.path.isdir(dest):
         entries = os.listdir(dest)
         flat = [e for e in entries if e.endswith(".parquet")]
-        partitioned = any(e.startswith("__batch=") for e in entries)
-        if flat and not partitioned:
+        # ANY flat root parquet is disqualifying — including a dest that
+        # already mixes flat files with __batch= dirs (resumed once by
+        # pre-guard code): appending more partitions doesn't unbreak
+        # partition discovery for downstream readers (r05 review)
+        if flat:
             raise ValueError(
-                f"dest {dest!r} holds unpartitioned parquet written by "
-                "a pre-__batch version of stream_enrich_pit; resuming "
-                "onto it would mix flat files with __batch= partition "
-                "directories and break partition discovery — use a "
-                "fresh dest (the reset-checkpoint contract)"
+                f"dest {dest!r} holds unpartitioned parquet at its root "
+                "(written by a pre-__batch version of stream_enrich_pit); "
+                "mixing flat files with __batch= partition directories "
+                "breaks partition discovery — use a fresh dest (the "
+                "reset-checkpoint contract)"
             )
 
     s = with_watermark(probe_stream, ts_col, watermark)

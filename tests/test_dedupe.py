@@ -490,6 +490,45 @@ def test_ann_index_serves_identical_to_on_the_fly(spark, tmp_path_factory):
     assert s1.exceptAll(f1).count() == 0 and f1.exceptAll(s1).count() == 0
 
 
+def test_probe_all_broadcast_accounts_for_fanout(spark, tmp_path_factory):
+    """r05 review: the serving join's broadcast decision must threshold
+    the JOIN INPUT (queries × probed keys), not the raw query count —
+    probe_all crossJoins every query with all 2^n_bits × n_tables keys,
+    so a batch that is broadcastable raw becomes a multi-GB broadcast
+    after the blowup. The decision helper is shared by the LSH and both
+    IVF serving joins; Catalyst remains free to broadcast the (small)
+    INDEX side on its own statistics."""
+    from feast_spark.operators.similarity import (
+        _broadcast_queries_ok,
+        ann_index_topk,
+        build_ann_index,
+        brute_force_topk,
+    )
+
+    # raw-count-broadcastable batch, NOT broadcastable after fan-out
+    assert _broadcast_queries_ok(30, 1, 100_000)
+    assert not _broadcast_queries_ok(30, 4096, 100_000)  # 2^10 × 4 keys
+    assert _broadcast_queries_ok(1, 4096, 100_000)  # point audit lookup
+    assert not _broadcast_queries_ok(None, 1, 100_000)  # unestimable
+
+    # the audit mode still equals brute force end-to-end under the
+    # shuffle-join decision
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    root = str(tmp_path_factory.mktemp("annb") / "idx")
+    build_ann_index(
+        emb, root, dim=64, n_bits=10, n_tables=4, n_buckets=8, seed=3
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_index_topk(queries, root, k=3, probe_all=True)
+    want = brute_force_topk(emb, queries, k=3)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_incremental_cc_equals_full_recompute(spark):
     """Seeding from yesterday's component table + today's new pairs must
     be row-identical to recomputing CC over the full pair union

@@ -89,7 +89,11 @@ def served(spark, tmp_path_factory):
         )
     )
     store.build_vector_index("vecs", n_bits=2, n_tables=2, n_buckets=4)
-    srv = FeatureServer(store, {"scores": dest, "vecs": dest}).start()
+    # only scores has a materialized online store; vecs serves from its
+    # vector index alone (no features= enrichment requested in tests —
+    # wiring vecs to the scores store would silently enrich from the
+    # wrong table)
+    srv = FeatureServer(store, {"scores": dest}).start()
     yield srv, store, dest
     srv.stop()
 
@@ -216,6 +220,17 @@ def test_error_paths_keep_server_alive(served):
     assert code == 400 and "exactly one view" in body["error"]
     code, _ = _call(srv.port, "/get-online-features", {"features": ["scores:score"]})
     assert code == 400  # missing entities
+    # r05 review: empty entities / empty push df are 400s, not 500s
+    code, body = _call(
+        srv.port,
+        "/get-online-features",
+        {"features": ["scores:score"], "entities": {}},
+    )
+    assert code == 400 and "non-empty" in body["error"]
+    code, body = _call(
+        srv.port, "/push", {"push_source_name": "scores", "df": {}}
+    )
+    assert code == 400 and "non-empty" in body["error"]
     # still serving afterwards
     code, _ = _call(srv.port, "/health")
     assert code == 200
