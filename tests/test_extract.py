@@ -346,6 +346,48 @@ def test_lang_id_cjk_script_gate(spark):
     assert CJK_GATE_DENOM == 3 and CJK_KANA_DENOM == 10
 
 
+def test_lang_id_oracle_mirrors_cjk_gate(spark, tmp_path):
+    """The generated DuckDB oracle must agree with Spark bit-for-bit ON
+    GATED ROWS — the testdata documents tables contain no CJK, so the
+    driver's own comparison never exercises the gate branch; this pins
+    the two regex dialects (java char-class vs RE2 \\x{..}) and the
+    integer gate arithmetic against each other on a CJK+Latin fixture."""
+    import duckdb
+    from pyspark.sql import Row
+
+    import __spark_entry__ as entrymod
+    from feast_spark.operators.text import lang_id
+
+    rows = [
+        Row(doc_id=1, text="这是一份关于数据处理系统的技术报告，包含性能测试结果。"),
+        Row(doc_id=2, text="これはデータ処理システムに関する技術報告書です。"),
+        Row(doc_id=3, text="이것은 데이터 처리 시스템에 관한 기술 보고서입니다."),
+        Row(doc_id=4, text='the report was written for the team and "数据" too'),
+        Row(doc_id=5, text="東京大学工学部計算機科学科研究報告書第三号"),
+        Row(doc_id=6, text="der Bericht ist nicht einfach und die Arbeit mit sich"),
+        Row(doc_id=7, text="コンピュータシステムのパフォーマンステストレポート"),
+        Row(doc_id=8, text="xylophone zebra quartz 12345"),
+    ]
+    df = spark.createDataFrame(rows)
+    p = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(p)
+    got_spark = {
+        r["doc_id"]: r["lang_pred"]
+        for r in df.select("doc_id", lang_id("text").alias("lang_pred")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    got_duck = dict(con.execute(entrymod._lang_id_oracle()).fetchall())
+    assert got_spark == got_duck, {
+        k: (got_spark[k], got_duck.get(k))
+        for k in got_spark
+        if got_spark[k] != got_duck.get(k)
+    }
+    assert got_spark[2] == "ja" and got_spark[5] == "zh"  # gate fired
+
+
 def test_perplexity_lm_semantics(spark):
     """CCNet-style char-LM scoring (operators/text.py char_ngram_lm /
     perplexity_score / perplexity_buckets): in-domain text scores lower
