@@ -146,7 +146,7 @@ def main(argv: list[str] | None = None, spark=None, block: bool = True):
         stores = {}
         for item in args.store:
             view, _, path = item.partition("=")
-            if not path:
+            if not view or not path:
                 raise SystemExit(f"--store expects VIEW=PATH, got {item!r}")
             stores[view] = path
         srv = FeatureServer(store, stores, host=args.host, port=args.port)

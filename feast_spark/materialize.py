@@ -728,6 +728,38 @@ def push_to_online(
     return {"rows_pushed": rows, "buckets_touched": touched}
 
 
+def infer_store_ts_col(
+    spark: SparkSession, dest: str, *, meta: dict | None = None
+) -> str | None:
+    """Event-time column of a serving store: ``store.json``'s recorded
+    ``ts_col``; for stores materialized before it was recorded (r04
+    review), resolve from the STORE's own parquet schema — ``warc_ts``
+    if present, else the single timestamp-typed column. ``None`` when
+    absent or ambiguous (callers that NEED it, like ttl expiry, must
+    refuse rather than guess). One shared inference for the Python API
+    and the HTTP server (r05 review batch 2 — the server's copy ran
+    over the post-ODFV schema, so derived timestamp columns changed
+    the answer)."""
+    if meta is None:
+        meta = read_store_meta(dest)
+    ts_col = (meta or {}).get("ts_col")
+    if ts_col:
+        return ts_col
+    from pyspark.sql import types as T
+
+    data = os.path.join(dest, layout.DATA_DIR)
+    fields = spark.read.parquet(data).schema.fields
+    ts_like = [
+        f.name for f in fields
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    ]
+    if "warc_ts" in ts_like:
+        return "warc_ts"
+    if len(ts_like) == 1:
+        return ts_like[0]
+    return None
+
+
 def read_online(
     spark: SparkSession,
     dest: str,
@@ -763,31 +795,13 @@ def read_online(
     if ttl is not None:
         if now is None:
             raise ValueError("ttl expiry needs an explicit `now`")
-        ts_col = (meta or {}).get("ts_col")
+        ts_col = infer_store_ts_col(spark, dest, meta=meta)
         if ts_col is None:
-            # stores materialized before ts_col was recorded: resolve
-            # from the store's own schema (one footer read) instead of
-            # assuming warc_ts, which fails with UNRESOLVED_COLUMN on
-            # stores keyed on any other timestamp (r04 review)
-            from pyspark.sql import types as T
-
-            fields = spark.read.parquet(data).schema.fields
-            ts_like = [
-                f.name for f in fields
-                if isinstance(
-                    f.dataType, (T.TimestampType, T.TimestampNTZType)
-                )
-            ]
-            if "warc_ts" in ts_like:
-                ts_col = "warc_ts"
-            elif len(ts_like) == 1:
-                ts_col = ts_like[0]
-            else:
-                raise ValueError(
-                    f"cannot infer the event-time column of {dest} for "
-                    f"ttl expiry (candidates: {ts_like}); re-materialize "
-                    "to record ts_col in store.json"
-                )
+            raise ValueError(
+                f"cannot infer the event-time column of {dest} for "
+                "ttl expiry; re-materialize to record ts_col in "
+                "store.json"
+            )
         if isinstance(now, str):
             now = _dt.datetime.fromisoformat(now)
         cutoff = now - ttl

@@ -894,7 +894,12 @@ def lsh_topk(
         n = estimate_rows(queries)
         if n is None and allow_count:
             n = queries.count()
-        broadcast_queries = n is not None and n <= broadcast_threshold
+        # join-input threshold (r05 review batch 2): q explodes
+        # ×n_tables full-vector rows before the hint — the same
+        # fan-out-blind decision fixed in the index-serving paths
+        broadcast_queries = _broadcast_queries_ok(
+            n, n_tables, broadcast_threshold
+        )
 
     c = corpus.select(
         F.col(id_col),

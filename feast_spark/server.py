@@ -163,25 +163,13 @@ class FeatureServer:
             tuple(r[c] for c in key_cols): r.asDict()
             for r in served.collect()
         }
-        from feast_spark.materialize import read_store_meta
+        from feast_spark.materialize import infer_store_ts_col
 
-        meta = read_store_meta(store_path) or {}
-        ts_col = meta.get("ts_col")
-        if ts_col is None:
-            # legacy stores without ts_col in store.json: resolve like
-            # read_online — warc_ts, else the single timestamp-typed
-            # column of the served schema
-            from pyspark.sql import types as T
-
-            ts_like = [
-                f.name
-                for f in served.schema.fields
-                if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
-            ]
-            if "warc_ts" in ts_like:
-                ts_col = "warc_ts"
-            elif len(ts_like) == 1:
-                ts_col = ts_like[0]
+        # the STORE's own schema decides the event-time column — never
+        # the served (post-ODFV) frame, whose derived timestamp columns
+        # would change the answer (r05 review batch 2; shared inference
+        # with read_online)
+        ts_col = infer_store_ts_col(self.store.spark, store_path)
         cutoff = None
         if ttl is not None:
             if now is None:
@@ -219,8 +207,12 @@ class FeatureServer:
                     values.append(None)
                     statuses.append("NOT_FOUND")
                     stamps.append(None)
-                elif cutoff is not None and ts is not None and ts <= cutoff:
-                    values.append(None)  # expired rows never serve values
+                elif cutoff is not None and (ts is None or ts <= cutoff):
+                    # expired rows never serve values; a NULL event time
+                    # under ttl is unservable too — read_online's filter
+                    # (ts > cutoff) drops such rows, and PRESENT here
+                    # would serve them forever (r05 review batch 2)
+                    values.append(None)
                     statuses.append("OUTSIDE_MAX_AGE")
                     stamps.append(_jsonable(ts))
                 else:
@@ -250,6 +242,9 @@ class FeatureServer:
             raise ValueError(
                 "df must map each column to a non-empty value list"
             )
+        n_rows = len(next(iter(df_cols.values())))
+        if any(len(v) != n_rows for v in df_cols.values()):
+            raise ValueError("df column value lists must share one length")
         pdf_rows = [
             {c: vals[i] for c, vals in df_cols.items()}
             for i in range(len(next(iter(df_cols.values()))))

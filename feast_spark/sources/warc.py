@@ -341,17 +341,20 @@ def stream_warc_dir(
                 probe = read_warc(spark, presented_new)
                 if transform is not None:
                     probe = transform(probe)
-                missing = (
-                    probe.select(key_col, ts_col).distinct()
-                    .join(
-                        read_table(spark, dest_root)
-                        .select(key_col, ts_col).distinct(),
-                        [key_col, ts_col],
-                        "left_anti",
-                    )
-                    .limit(1)
-                    .count()
+                # eqNullSafe keys (r05 review batch 2): without a
+                # transform, real WARCs yield NULL-url rows (warcinfo
+                # records have no WARC-Target-URI) — a null-unsafe
+                # anti-join would brand the genuine replay "absent
+                # from the table" forever
+                pr = probe.select(key_col, ts_col).distinct().alias("p")
+                tb = (
+                    read_table(spark, dest_root)
+                    .select(key_col, ts_col).distinct().alias("t")
                 )
+                cond = (
+                    F.col(f"p.{key_col}").eqNullSafe(F.col(f"t.{key_col}"))
+                ) & (F.col(f"p.{ts_col}").eqNullSafe(F.col(f"t.{ts_col}")))
+                missing = pr.join(tb, cond, "left_anti").limit(1).count()
                 plausible = missing == 0
                 why = (
                     "presented segments contain rows absent from the "

@@ -84,9 +84,10 @@ def test_apply_refuses_empty_defs(spark, tmp_path):
 
 def test_serve_rejects_malformed_store_arg(spark, tmp_path):
     root = str(tmp_path / "root2")
-    with pytest.raises(SystemExit, match="VIEW=PATH"):
-        main(
-            ["serve", "--root", root, "--store", "nopath", "--port", "0"],
-            spark=spark,
-            block=False,
-        )
+    for bad in ("nopath", "=path"):  # r05 review batch 2: empty view too
+        with pytest.raises(SystemExit, match="VIEW=PATH"):
+            main(
+                ["serve", "--root", root, "--store", bad, "--port", "0"],
+                spark=spark,
+                block=False,
+            )

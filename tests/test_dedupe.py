@@ -529,6 +529,30 @@ def test_probe_all_broadcast_accounts_for_fanout(spark, tmp_path_factory):
     assert want.exceptAll(got).count() == 0
 
 
+def test_lsh_topk_broadcast_decision_uses_fanout(spark, monkeypatch):
+    """r05 review batch 2: lsh_topk's auto broadcast decision must route
+    through the shared fan-out-aware helper with fan_out = n_tables (its
+    query side explodes ×n_tables full-vector rows before the hint)."""
+    import numpy as np
+
+    import feast_spark.operators.similarity as sim
+
+    calls = []
+    real = sim._broadcast_queries_ok
+
+    def spy(n, fan_out, threshold):
+        calls.append((n, fan_out, threshold))
+        return real(n, fan_out, threshold)
+
+    monkeypatch.setattr(sim, "_broadcast_queries_ok", spy)
+    rng = np.random.default_rng(9)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((50, 8)))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    sim.lsh_topk(corpus, queries, dim=8, k=3, n_bits=4, n_tables=8).collect()
+    assert calls and calls[0][1] == 8  # fan_out == n_tables
+
+
 def test_incremental_cc_equals_full_recompute(spark):
     """Seeding from yesterday's component table + today's new pairs must
     be row-identical to recomputing CC over the full pair union

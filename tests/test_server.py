@@ -196,6 +196,44 @@ def test_push_then_serve(served):
     assert got["results"][1]["statuses"] == ["PRESENT"]
 
 
+def test_null_event_time_under_ttl_never_serves(served, spark, monkeypatch):
+    """r05 review batch 2: a store row whose event time is NULL is
+    unservable under ttl (read_online's `ts > cutoff` filter drops it);
+    the server must mark it OUTSIDE_MAX_AGE with NULL values, never
+    PRESENT-forever."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    srv, store, _ = served
+    frame = spark.createDataFrame(
+        [
+            Row(user="ok", ts=datetime(2024, 1, 20), score=1.0),
+            Row(user="nullts", ts=None, score=9.0),
+        ],
+        "user string, ts timestamp, score double",
+    )
+    monkeypatch.setattr(
+        type(store), "get_online_features", lambda self, *a, **k: frame
+    )
+    body = srv.get_online_features(
+        {
+            "features": ["scores:score"],
+            "entities": {"user": ["ok", "nullts"]},
+            "ttl_seconds": 90 * 86400,
+            "now": "2024-02-01T00:00:00",
+        }
+    )
+    score = body["results"][1]
+    assert score["values"] == [1.0, None]
+    assert score["statuses"] == ["PRESENT", "OUTSIDE_MAX_AGE"]
+    # without ttl the NULL-ts row serves normally (read_online parity)
+    body = srv.get_online_features(
+        {"features": ["scores:score"], "entities": {"user": ["nullts"]}}
+    )
+    assert body["results"][1]["statuses"] == ["PRESENT"]
+
+
 def test_retrieve_online_documents(served):
     srv, _, _ = served
     code, body = _call(
@@ -231,6 +269,14 @@ def test_error_paths_keep_server_alive(served):
         srv.port, "/push", {"push_source_name": "scores", "df": {}}
     )
     assert code == 400 and "non-empty" in body["error"]
+    # r05 review batch 2: ragged push columns are a 400 too, not an
+    # IndexError 500
+    code, body = _call(
+        srv.port,
+        "/push",
+        {"push_source_name": "scores", "df": {"user": ["a", "b"], "ts": ["x"]}},
+    )
+    assert code == 400 and "one length" in body["error"]
     # still serving afterwards
     code, _ = _call(srv.port, "/health")
     assert code == 200

@@ -221,6 +221,45 @@ def test_legacy_ledger_equal_count_spoof_refuses(spark, tmp_path):
     assert layout.read_table(spark, dest).count() == 1  # u2 NOT dropped silently
 
 
+def test_legacy_replay_with_null_urls_still_skips(spark, tmp_path):
+    """r05 review batch 2: without a transform, real WARCs yield
+    NULL-url rows (warcinfo records carry no WARC-Target-URI) — the
+    content probe's membership join must be null-safe, or a genuine
+    replay is branded 'absent from the table' forever."""
+    import json
+
+    indir = tmp_path / "drop"
+    indir.mkdir()
+    dest = str(tmp_path / "tbl")
+    p = str(indir / "a.warc.gz")
+    warc.write_warc_file(
+        [
+            {"url": None, "date": "2024-01-01T00:00:00Z",
+             "warc_type": "warcinfo", "text": "crawl metadata"},
+            {"url": "u1", "date": "2024-01-01T00:00:01Z", "text": "body"},
+        ],
+        p,
+    )
+    df = warc.read_warc(spark, [p])  # NO transform: NULL-url row kept
+    layout.write_table(
+        df, dest, key_col="url", ts_col="warc_date", n_buckets=2,
+    )
+    ldir = tmp_path / "tbl" / "_stream_ingest"
+    ldir.mkdir()
+    (ldir / "batch-0.json").write_text(
+        json.dumps({"batch_id": 0, "snapshot": 1, "n_files": 1})
+    )
+    head = layout.current_snapshot(dest)["snapshot_id"]
+    q = warc.stream_warc_dir(
+        spark, str(indir), dest, checkpoint=str(tmp_path / "ckpt"),
+        n_buckets=2,
+    )
+    q.awaitTermination(120)
+    # pure replay: skipped (no new snapshot, no duplicate rows)
+    assert layout.current_snapshot(dest)["snapshot_id"] == head
+    assert layout.read_table(spark, dest).count() == 2
+
+
 def test_legacy_ledger_path_list_compares_exactly(spark, tmp_path):
     """ADVICE r04: legacy records that DO carry a file list are compared
     by path set, which beats both the count and the mtime heuristics —
